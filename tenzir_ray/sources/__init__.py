@@ -1,0 +1,82 @@
+"""Sources & sinks — connector/format analogs.
+
+The reference splits byte-level connectors (file/s3/kafka/...,
+``builtins/connectors/*``) from formats (json/csv/lines/parquet/...,
+``builtins/formats/*``); `from X read Y` desugars to loader+parser
+(``builtins/operators/from_load_read.cpp:19-230``). Ray Data fuses the
+two: ``read_parquet``/``read_csv``/``read_json``/``read_text`` already
+pair a filesystem loader with a vectorized Arrow parser, including
+s3:///gcs:// URIs via Arrow filesystems — the same Arrow FS heritage as
+the reference's s3 connector (``builtins/connectors/s3.cpp:54-234``).
+
+The binlog *tail* source (the `file --follow` / kafka-offset analog,
+``builtins/connectors/file.cpp:168-177``,
+``plugins/kafka/src/configuration.cpp:73-110``) lives in
+:mod:`tenzir_ray.cdc.binlog` because it is offset/checkpoint aware.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import ray.data
+from ray.data import Dataset
+
+from tenzir_ray.expr import Node, to_dataset_filter
+
+
+def read_parquet(
+    paths: Union[str, Sequence[str]],
+    columns: Optional[Sequence[str]] = None,
+    predicate: Union[str, Node, None] = None,
+    **kwargs,
+) -> Dataset:
+    """Parquet source with projection + predicate pushdown.
+
+    ``predicate`` (our expression language) converts to a pyarrow
+    dataset expression so row groups are pruned AT THE READ — the Ray
+    analog of the reference's `where.optimize()` pushdown
+    (``builtins/operators/where.cpp:109-117``) and catalog pruning.
+    Reference store: ``plugins/parquet/parquet.cpp:379-478``.
+    """
+    flt = to_dataset_filter(predicate) if predicate is not None else None
+    return ray.data.read_parquet(
+        paths, columns=list(columns) if columns else None, filter=flt, **kwargs
+    )
+
+
+def read_csv(paths, **kwargs) -> Dataset:
+    """CSV/TSV source (reference `xsv` parser, ``builtins/formats/xsv.cpp``)."""
+    return ray.data.read_csv(paths, **kwargs)
+
+
+def read_json(paths, **kwargs) -> Dataset:
+    """NDJSON source (reference `json` parser, ``builtins/formats/json.cpp``)."""
+    return ray.data.read_json(paths, **kwargs)
+
+
+def read_lines(paths, **kwargs) -> Dataset:
+    """Plain-text lines source (reference `lines` parser,
+    ``builtins/formats/lines.cpp:41-105``)."""
+    return ray.data.read_text(paths, **kwargs)
+
+
+def read_binary(paths, include_paths: bool = True, **kwargs) -> Dataset:
+    """Opaque byte blobs (reference byte-stream edges carry ``chunk_ptr``,
+    ``include/tenzir/chunk.hpp``); for multimodal payload columns."""
+    return ray.data.read_binary_files(paths, include_paths=include_paths, **kwargs)
+
+
+def write_parquet(ds: Dataset, path: str, **kwargs) -> None:
+    """Parquet sink, zstd like the reference store
+    (``plugins/parquet/parquet.cpp:318-378``: ZSTD, 64Ki row groups)."""
+    kwargs.setdefault("compression", "zstd")
+    ds.write_parquet(path, **kwargs)
+
+
+def write_csv(ds: Dataset, path: str, **kwargs) -> None:
+    ds.write_csv(path, **kwargs)
+
+
+def write_json(ds: Dataset, path: str, **kwargs) -> None:
+    ds.write_json(path, **kwargs)

@@ -1,0 +1,175 @@
+"""Operator library unit tests on tiny deterministic tables
+(reference analog: libtenzir/test/table_slice.cpp + golden dirs under
+tenzir/integration/reference/)."""
+
+import hashlib
+
+import pyarrow as pa
+import ray.data
+
+from tenzir_ray import ops
+
+
+def make_ds():
+    t = pa.table(
+        {
+            "x": [5, 1, 3, 2, 4],
+            "s": ["e", "a", "c", "b", "d"],
+            "f": [0.5, 0.1, 0.3, 0.2, 0.4],
+        }
+    )
+    return ray.data.from_arrow(t)
+
+
+def rows(ds):
+    return ds.to_pandas().to_dict("records")
+
+
+def test_where():
+    out = ops.where(make_ds(), "x >= 3")
+    assert sorted(r["x"] for r in rows(out)) == [3, 4, 5]
+
+
+def test_select_drop_rename():
+    assert set(ops.select(make_ds(), ["x"]).schema().names) == {"x"}
+    assert set(ops.drop(make_ds(), ["s"]).schema().names) == {"x", "f"}
+    out = ops.rename(make_ds(), {"renamed": "x"})
+    assert "renamed" in out.schema().names and "x" not in out.schema().names
+
+
+def test_put_extend_replace():
+    out = ops.put(make_ds(), {"double_x": "x * 2", "tag": '"k"'})
+    r = rows(out)
+    assert set(r[0]) == {"double_x", "tag"}
+    assert sorted(x["double_x"] for x in r) == [2, 4, 6, 8, 10]
+
+    out = ops.extend(make_ds(), {"y": "x + 1", "x": "x * 100"})  # x conflict -> skipped
+    r = sorted(rows(out), key=lambda r: r["x"])
+    assert [x["y"] for x in r] == [2, 3, 4, 5, 6]
+
+    out = ops.replace(make_ds(), {"x": "x * 10"})
+    assert sorted(x["x"] for x in rows(out)) == [10, 20, 30, 40, 50]
+
+
+def test_hash_op():
+    out = ops.hash_op(make_ds(), "s")
+    r = {x["s"]: x["s_hash"] for x in rows(out)}
+    assert r["a"] == hashlib.sha256(b"a").hexdigest()
+
+
+def test_flatten_unflatten():
+    t = pa.table(
+        {
+            "a": pa.array([{"b": 1, "c": {"d": "x"}}, {"b": 2, "c": {"d": "y"}}]),
+            "top": [10, 20],
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    flat = ops.flatten(ds)
+    assert set(flat.schema().names) == {"a.b", "a.c.d", "top"}
+    back = ops.unflatten(flat)
+    assert set(back.schema().names) == {"a", "top"}
+    r = sorted(rows(back), key=lambda r: r["top"])
+    assert r[0]["a"] == {"b": 1, "c": {"d": "x"}}
+
+
+def test_head_tail():
+    ds = ray.data.from_arrow(pa.table({"i": list(range(100))})).repartition(7)
+    assert ops.head(ds, 5).count() == 5
+    tl = sorted(r["i"] for r in rows(ops.tail(ds, 5)))
+    assert tl == [95, 96, 97, 98, 99]
+
+
+def test_taste():
+    t = pa.table({"g": ["a"] * 5 + ["b"] * 3, "v": list(range(8))})
+    out = ops.taste(ray.data.from_arrow(t), "g", n=2)
+    counts = {}
+    for r in rows(out):
+        counts[r["g"]] = counts.get(r["g"], 0) + 1
+    assert counts == {"a": 2, "b": 2}
+
+
+def test_unique_consecutive():
+    import ray
+
+    t = pa.table({"v": [1, 1, 2, 2, 2, 1, None, None, 3]})
+    out = ops.unique(ray.data.from_arrow(t).repartition(3), strict=True)
+    tbl = pa.concat_tables(ray.get(out.to_arrow_refs()))
+    assert tbl["v"].to_pylist() == [1, 2, 1, None, 3]
+
+
+def test_enumerate():
+    ds = ray.data.from_arrow(pa.table({"v": list("abcde")})).repartition(2)
+    out = ops.enumerate_op(ds, field="id")
+    ids = sorted(r["id"] for r in rows(out))
+    assert ids == [0, 1, 2, 3, 4]
+
+
+def test_repeat_measure_pass_discard():
+    ds = make_ds()
+    assert ops.repeat(ds, 3).count() == 15
+    assert sum(r["events"] for r in rows(ops.measure(ds))) == 5
+    assert ops.pass_op(ds) is ds
+    ops.discard(ds)  # just consumes
+
+
+def test_sort_top_rare():
+    out = ops.sort(make_ds(), "x", descending=True)
+    assert [r["x"] for r in rows(out)] == [5, 4, 3, 2, 1]
+    t = pa.table({"k": ["a", "b", "a", "c", "a", "b"]})
+    ds = ray.data.from_arrow(t)
+    top = rows(ops.top(ds, "k", k=2))
+    assert [(r["k"], r["count"]) for r in top] == [("a", 3), ("b", 2)]
+    rare = rows(ops.rare(ds, "k", k=1))
+    assert [(r["k"], r["count"]) for r in rare] == [("c", 1)]
+
+
+def test_summarize():
+    t = pa.table(
+        {
+            "g": ["a", "a", "b", "b", "b"],
+            "v": [1, 2, 3, None, 5],
+            "flag": [True, False, None, False, False],
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = ops.summarize(
+        ds,
+        aggs={
+            "n": ("count", None),
+            "n_v": ("count", "v"),
+            "sum_v": ("sum", "v"),
+            "min_v": ("min", "v"),
+            "max_v": ("max", "v"),
+            "any_f": ("any", "flag"),
+            "all_f": ("all", "flag"),
+            "dv": ("distinct", "v"),
+            "cd": ("count_distinct", "v"),
+            "first_v": ("sample", "v"),
+        },
+        by="g",
+    )
+    r = {x["g"]: x for x in rows(out)}
+    assert r["a"]["n"] == 2 and r["b"]["n"] == 3
+    assert r["a"]["n_v"] == 2 and r["b"]["n_v"] == 2
+    assert r["a"]["sum_v"] == 3 and r["b"]["sum_v"] == 8
+    assert r["b"]["min_v"] == 3 and r["b"]["max_v"] == 5
+    assert r["a"]["any_f"] == True and r["a"]["all_f"] == False  # noqa: E712
+    assert r["b"]["any_f"] == False and r["b"]["all_f"] == False  # noqa: E712
+    assert list(r["b"]["dv"]) == [3, 5] and r["b"]["cd"] == 2
+    assert r["a"]["first_v"] in (1, 2)
+
+
+def test_summarize_resolution():
+    import datetime as dt
+
+    ts = [dt.datetime(2024, 1, 1, h, m) for h, m in [(1, 5), (1, 55), (2, 10)]]
+    t = pa.table({"ts": pa.array(ts, type=pa.timestamp("us")), "v": [1, 2, 3]})
+    out = ops.summarize(
+        ray.data.from_arrow(t),
+        aggs={"sum_v": ("sum", "v")},
+        by="ts",
+        resolution={"ts": "1h"},
+    )
+    r = sorted(rows(out), key=lambda x: x["ts"])
+    assert len(r) == 2 and r[0]["sum_v"] == 3 and r[1]["sum_v"] == 3
