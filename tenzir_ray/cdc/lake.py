@@ -1,0 +1,176 @@
+"""Parquet lake with a two-phase-commit manifest (exactly-once sink).
+
+Generalizes the reference's write-then-publish pattern: an active
+partition serializes its store file, then atomically renames it into
+place via the filesystem actor, and only then registers with the
+catalog (``libtenzir/src/active_partition.cpp:68-175``,
+``src/posix_filesystem.cpp:29-40`` atomic rename,
+``src/catalog.cpp:88-115`` lookup). Here:
+
+- data files are written to deterministic, versioned names
+  ``data/b{bucket:05d}-v{version:06d}.parquet`` (tmp + ``os.replace``)
+  — a retried Ray task overwrites the SAME bytes, so replays are
+  harmless;
+- a manifest ``manifests/manifest-{version:06d}.json`` lists the live
+  file per bucket, per-bucket high-water marks (last applied binlog
+  offset — the checkpoint), the applied-chunk log (idempotence gate),
+  the evolved schema, and lineage/throughput metrics;
+- the manifest is the COMMIT POINT: written tmp-then-rename; readers
+  resolve the highest complete manifest version. A crash before the
+  rename leaves the previous version live and the next run re-applies
+  the chunk onto the same deterministic file names — exactly-once.
+
+The manifest doubles as the catalog analog: per-bucket row counts and
+key-hash partitioning let readers prune buckets before ``read_parquet``
+(the reference's synopsis-based partition pruning,
+``src/catalog.cpp:88-115``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import zlib
+from typing import Dict, List, Optional, Sequence, Union
+
+import numpy as np
+import pyarrow as pa
+
+from tenzir_ray.schema import LAKE_SCHEMA, schema_from_json, schema_to_json
+
+_MANIFEST_RE = re.compile(r"^manifest-(\d{6})\.json$")
+
+
+def key_bucket(repo: Union[str, Sequence[str]], path: Union[str, Sequence[str]], num_buckets: int):
+    """Stable hash-partition of the merge key (repo, path) — crc32 is
+    deterministic across processes/runs (unlike Python's builtin hash),
+    which resume correctness requires."""
+    if isinstance(repo, str):
+        return zlib.crc32(f"{repo}\x00{path}".encode()) % num_buckets
+    return np.array(
+        [zlib.crc32(f"{r}\x00{p}".encode()) % num_buckets for r, p in zip(repo, path)],
+        dtype=np.int64,
+    )
+
+
+class Lake:
+    """A bucketed Parquet lake table rooted at ``root``."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.manifest_dir = os.path.join(root, "manifests")
+
+    # -- lifecycle ----------------------------------------------------------
+
+    @classmethod
+    def create(cls, root: str, num_buckets: int = 64) -> "Lake":
+        lake = cls(root)
+        os.makedirs(lake.data_dir, exist_ok=True)
+        os.makedirs(lake.manifest_dir, exist_ok=True)
+        if lake.latest_manifest() is None:
+            lake.commit(
+                {
+                    "version": 0,
+                    "num_buckets": num_buckets,
+                    "files": {},
+                    "hwm": {},
+                    "applied_through": -1,
+                    "applied_chunks": [],
+                    "schema": schema_to_json(LAKE_SCHEMA),
+                    "lineage": [],
+                }
+            )
+        return lake
+
+    # -- manifest resolution ------------------------------------------------
+
+    def latest_manifest(self) -> Optional[Dict]:
+        if not os.path.isdir(self.manifest_dir):
+            return None
+        versions = []
+        for name in os.listdir(self.manifest_dir):
+            m = _MANIFEST_RE.match(name)
+            if m:
+                versions.append(int(m.group(1)))
+        if not versions:
+            return None
+        with open(self._manifest_path(max(versions))) as f:
+            return json.load(f)
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.manifest_dir, f"manifest-{version:06d}.json")
+
+    # -- commit (phase 2) ---------------------------------------------------
+
+    def commit(self, manifest: Dict) -> None:
+        """Atomically publish a manifest version. tmp-write + fsync +
+        ``os.replace`` — the single commit point (phase 2 of the 2PC;
+        phase 1 is the staged data files already on disk)."""
+        path = self._manifest_path(manifest["version"])
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    # -- reads --------------------------------------------------------------
+
+    def schema(self) -> pa.Schema:
+        return schema_from_json(self.latest_manifest()["schema"])
+
+    def data_files(self, buckets: Optional[Sequence[int]] = None) -> List[str]:
+        man = self.latest_manifest()
+        files = man["files"]
+        keys = [str(b) for b in buckets] if buckets is not None else sorted(files, key=int)
+        return [os.path.join(self.root, files[k]["path"]) for k in keys if k in files]
+
+    def read(
+        self,
+        columns: Optional[Sequence[str]] = None,
+        key: Optional[tuple] = None,
+        **kwargs,
+    ):
+        """Read the lake as a Dataset. ``key=(repo, path)`` prunes to the
+        single bucket that can contain the key (catalog-lookup analog)."""
+        import ray.data
+
+        man = self.latest_manifest()
+        buckets = None
+        if key is not None:
+            buckets = [key_bucket(key[0], key[1], man["num_buckets"])]
+        files = self.data_files(buckets)
+        if not files:
+            return ray.data.from_arrow(self.schema().empty_table())
+        return ray.data.read_parquet(files, columns=list(columns) if columns else None, **kwargs)
+
+    def to_arrow(self) -> pa.Table:
+        """Whole lake as one Arrow table — TEST/small-scale helper only."""
+        import pyarrow.parquet as pq
+
+        files = self.data_files()
+        if not files:
+            return self.schema().empty_table()
+        tables = [pq.read_table(f) for f in files]
+        schema = self.schema()
+        from tenzir_ray.schema import conform
+
+        return pa.concat_tables([conform(t, schema) for t in tables])
+
+    # -- maintenance --------------------------------------------------------
+
+    def vacuum(self) -> List[str]:
+        """Delete data files not referenced by the LATEST manifest (the
+        eraser/disk-monitor analog, ``src/eraser.cpp``,
+        ``src/disk_monitor.cpp``). Safe because readers resolve the
+        latest manifest before opening files."""
+        man = self.latest_manifest()
+        live = {os.path.basename(v["path"]) for v in man["files"].values()}
+        removed = []
+        for name in os.listdir(self.data_dir):
+            if name.endswith(".parquet") and name not in live:
+                os.remove(os.path.join(self.data_dir, name))
+                removed.append(name)
+        return removed

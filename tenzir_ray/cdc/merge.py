@@ -1,0 +1,258 @@
+"""Hash-partitioned last-writer-wins merge with tombstones + salting.
+
+The wide step of the CDC engine. Shape (SURVEY.md §7.2 step 4):
+
+1. **Map-side combiner** (no shuffle): inside each Arrow batch, keep
+   only the max-``commit_seq`` event per ``(repo, path)`` key and drop
+   events at or below the high-water mark (duplicate delivery /
+   resume re-reads). This collapses hot-key volume before any data
+   moves — the partial/final decomposition the reference's
+   aggregation functions are built around
+   (``include/tenzir/aggregation_function.hpp:23-58``).
+2. **Salted pre-reduce** (only for detected hot buckets): rows of
+   buckets whose combined size exceeds ``salt_threshold`` get
+   ``_salt = commit_seq % num_salts``; a ``groupby([_bucket, _salt])``
+   partial LWW spreads the hot bucket over ``num_salts`` tasks, then
+   re-coalesces in step 3. LWW-per-key is associative+commutative
+   (argmax by commit_seq; tombstones ride along as rows), so the
+   salted partials compose exactly.
+3. **Per-bucket final merge** (the shuffle): ``groupby("_bucket")``;
+   each group task reads its CURRENT lake bucket file, unifies schemas
+   (additive evolution: missing -> null), concatenates base + deltas,
+   resolves LWW per key, drops delete tombstones, and writes the new
+   bucket file to its deterministic versioned name (tmp +
+   ``os.replace``). Task retries overwrite identical bytes → safe
+   under Ray's retry semantics. Only tiny metadata rows return to the
+   driver; the manifest commit (phase 2) happens there.
+
+All group/batch kernels are Arrow-native (``table.take`` on
+numpy-computed winner indices) — no full pandas conversion, so
+evolved nullable int columns keep their types.
+
+Scale assumption (documented knob): ``num_buckets`` must be sized so
+one bucket's lake state fits a worker's heap — at 100 TB that means
+O(10^4-10^5) buckets, not 64; bucket count is fixed at lake creation
+and changed only by the rebucket compaction job
+(:func:`tenzir_ray.cdc.engine.rebucket`).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+from ray.data import Dataset
+
+from tenzir_ray.cdc.lake import Lake
+from tenzir_ray.schema import conform, schema_from_json, schema_to_json, unify_schemas
+
+# event-stream bookkeeping columns that do NOT become lake columns
+_EVENT_ONLY = ("offset", "op", "_bucket", "_salt")
+
+
+def lake_schema_after(prev: pa.Schema, events: pa.Schema) -> pa.Schema:
+    """Additive evolution: previous lake schema + any new event columns
+    (e.g. F4's ``branch``/``size_bytes``), minus stream bookkeeping."""
+    ev_fields = pa.schema([f for f in events if f.name not in _EVENT_ONLY])
+    return unify_schemas([prev, ev_fields])
+
+
+def _lww_winner_positions(t: pa.Table) -> np.ndarray:
+    """Positions (ascending) of the max-``commit_seq`` row per
+    (repo, path). Only the three key columns leave Arrow; the mask is
+    computed with a stable argsort + last-occurrence dedup."""
+    cs = t["commit_seq"].to_numpy(zero_copy_only=False)
+    order = np.argsort(cs, kind="stable")
+    df = pd.DataFrame(
+        {
+            "repo": t["repo"].to_pandas().to_numpy()[order],
+            "path": t["path"].to_pandas().to_numpy()[order],
+        }
+    )
+    winners = order[~df.duplicated(keep="last").to_numpy()]
+    winners.sort()
+    return winners
+
+
+def lww_reduce(t: pa.Table) -> pa.Table:
+    """Partial LWW: keep the latest event per key; tombstones survive as
+    rows (they must: a later delete has to beat an earlier update in a
+    later reduction round)."""
+    if t.num_rows <= 1:
+        return t
+    return t.take(pa.array(_lww_winner_positions(t)))
+
+
+def combiner_batch(batch: pa.Table, hwm: Dict[int, int], applied_through: int) -> pa.Table:
+    """Stage 1: HWM filter + within-batch LWW combine (stateless
+    map_batches task)."""
+    offsets = batch["offset"].to_numpy(zero_copy_only=False)
+    keep = offsets > applied_through
+    if hwm:
+        buckets = batch["_bucket"].to_numpy(zero_copy_only=False)
+        size = (int(buckets.max()) + 1) if len(buckets) else 1
+        hwm_arr = np.full(size, -1, dtype=np.int64)
+        for b, o in hwm.items():
+            if int(b) < size:
+                hwm_arr[int(b)] = o
+        keep &= offsets > hwm_arr[buckets]
+    if not keep.all():
+        batch = batch.filter(pa.array(keep))
+    return lww_reduce(batch)
+
+
+class _FinalMerge:
+    """Per-bucket final merge + staged write (runs inside
+    ``groupby(_bucket).map_groups`` tasks; Arrow in / Arrow out)."""
+
+    def __init__(self, lake_root: str, bucket_files: Dict[str, str], version: int, schema_json: list):
+        self.lake_root = lake_root
+        self.bucket_files = bucket_files  # str(bucket) -> relpath
+        self.version = version
+        self.schema_json = schema_json
+
+    def __call__(self, delta: pa.Table) -> pa.Table:
+        bucket = delta["_bucket"][0].as_py()
+        target = schema_from_json(self.schema_json)
+        max_offset = int(pc.max(delta["offset"]).as_py())
+
+        base_rel = self.bucket_files.get(str(bucket))
+        if base_rel is not None:
+            base = pq.read_table(os.path.join(self.lake_root, base_rel))
+            # base rows join the LWW race with their stored commit_seq;
+            # 'base' op marks them live (missing fields -> null = the
+            # record-cast rule of cast.hpp)
+            base = base.append_column("op", pa.array(["base"] * base.num_rows))
+            ms = unify_schemas([delta.schema, base.schema])
+            merged = pa.concat_tables([conform(base, ms), conform(delta, ms)])
+        else:
+            merged = delta
+
+        merged = lww_reduce(merged)
+        merged = merged.filter(pc.not_equal(merged["op"], "delete"))
+        out = conform(merged, target)
+
+        rel = f"data/b{bucket:05d}-v{self.version:06d}.parquet"
+        final_path = os.path.join(self.lake_root, rel)
+        tmp = final_path + f".tmp-{os.getpid()}"
+        pq.write_table(out, tmp, compression="zstd", row_group_size=65_536)
+        os.replace(tmp, final_path)
+
+        return pa.table(
+            {
+                "bucket": pa.array([bucket], type=pa.int64()),
+                "path": pa.array([rel]),
+                "rows": pa.array([out.num_rows], type=pa.int64()),
+                "bytes": pa.array([os.path.getsize(final_path)], type=pa.int64()),
+                "max_offset": pa.array([max_offset], type=pa.int64()),
+            }
+        )
+
+
+def bucket_counts(combined: Dataset) -> Dict[int, int]:
+    """Cheap skew probe: per-batch bucket value-counts -> tiny tables ->
+    driver-side sum. No shuffle (vs a groupby().count())."""
+
+    def count(t: pa.Table) -> pa.Table:
+        b, c = np.unique(t["_bucket"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"b": pa.array(b, type=pa.int64()), "c": pa.array(c, type=pa.int64())})
+
+    parts = combined.map_batches(count, batch_format="pyarrow").to_pandas()
+    return parts.groupby("b")["c"].sum().to_dict() if len(parts) else {}
+
+
+def apply_chunk(
+    lake: Lake,
+    events: Dataset,
+    chunk_id: str,
+    chunk_max_offset: int,
+    *,
+    salt_threshold: int = 200_000,
+    num_salts: int = 16,
+    lineage_extra: Optional[Dict] = None,
+) -> Dict:
+    """Apply one binlog chunk to the lake; returns the NEW manifest
+    (already committed). Idempotent: if ``chunk_id`` is in the applied
+    log, this is a no-op returning the current manifest."""
+    man = lake.latest_manifest()
+    if chunk_id in man["applied_chunks"]:
+        return man
+    version = man["version"] + 1
+    prev_schema = schema_from_json(man["schema"])
+    target = lake_schema_after(prev_schema, events.schema().base_schema)
+    target_json = schema_to_json(target)
+
+    hwm = {int(k): v for k, v in man["hwm"].items()}
+    applied_through = man["applied_through"]
+
+    # stage 1: combiner (stateless tasks, no shuffle)
+    combined = events.map_batches(
+        lambda b: combiner_batch(b, hwm, applied_through),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    # stage 2: salted pre-reduce for hot buckets only
+    counts = bucket_counts(combined)
+    hot = {b: c for b, c in counts.items() if c > salt_threshold}
+    if hot:
+        hot_list = sorted(hot)
+
+        def split(batch: pa.Table, want_hot: bool) -> pa.Table:
+            mask = np.isin(batch["_bucket"].to_numpy(zero_copy_only=False), hot_list)
+            return batch.filter(pa.array(mask if want_hot else ~mask))
+
+        def add_salt(batch: pa.Table) -> pa.Table:
+            salt = batch["commit_seq"].to_numpy(zero_copy_only=False) % num_salts
+            return batch.append_column("_salt", pa.array(salt, type=pa.int64()))
+
+        hot_reduced = (
+            combined.map_batches(lambda t: split(t, True), batch_format="pyarrow")
+            .map_batches(add_salt, batch_format="pyarrow")
+            .groupby(["_bucket", "_salt"])
+            .map_groups(lww_reduce, batch_format="pyarrow")
+            .drop_columns(["_salt"])
+        )
+        cold_ds = combined.map_batches(lambda t: split(t, False), batch_format="pyarrow")
+        combined = cold_ds.union(hot_reduced)
+
+    # stage 3: per-bucket final merge + staged writes (the shuffle)
+    merger = _FinalMerge(
+        lake.root, {k: v["path"] for k, v in man["files"].items()}, version, target_json
+    )
+
+    def final_merge(t: pa.Table) -> pa.Table:
+        return merger(t)
+
+    meta = combined.groupby("_bucket").map_groups(final_merge, batch_format="pyarrow").to_pandas()
+
+    # phase 2: single manifest commit on the driver
+    files = dict(man["files"])
+    new_hwm = dict(man["hwm"])
+    for _, r in meta.iterrows():
+        b = str(int(r["bucket"]))
+        files[b] = {"path": r["path"], "rows": int(r["rows"]), "bytes": int(r["bytes"])}
+        new_hwm[b] = max(int(new_hwm.get(b, -1)), int(r["max_offset"]))
+    lineage = {
+        "chunk": chunk_id,
+        "buckets_touched": int(len(meta)),
+        "hot_buckets_salted": sorted(hot) if hot else [],
+        **(lineage_extra or {}),
+    }
+    new_man = {
+        "version": version,
+        "num_buckets": man["num_buckets"],
+        "files": files,
+        "hwm": new_hwm,
+        "applied_through": max(applied_through, chunk_max_offset),
+        "applied_chunks": man["applied_chunks"] + [chunk_id],
+        "schema": target_json,
+        "lineage": man["lineage"] + [lineage],
+    }
+    lake.commit(new_man)
+    return new_man

@@ -1,0 +1,175 @@
+"""CDC engine tests: golden replay vs DuckDB oracle, crash/resume,
+idempotent duplicate delivery, schema evolution, skew salting,
+compaction (FIXTURES.md F2-F5; reference test model: golden-output
+integration tests, tenzir/integration/integration.py)."""
+
+import glob
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from tenzir_ray.cdc import generate_binlog, oracle, replay
+from tenzir_ray.cdc.engine import rebucket
+from tenzir_ray.cdc.lake import Lake, key_bucket
+
+BINLOG = "/tmp/tzr_test_binlog"
+N_EVENTS = 6_000
+
+
+@pytest.fixture(scope="module")
+def binlog_dir():
+    shutil.rmtree(BINLOG, ignore_errors=True)
+    generate_binlog(
+        BINLOG,
+        n_events=N_EVENTS,
+        n_repos=20,
+        paths_per_repo=25,
+        shard_events=1_500,
+        content_median=128,
+        evolution_offset=4_500,
+        dup_fraction=0.02,
+    )
+    return BINLOG
+
+
+def fresh_lake(name):
+    root = f"/tmp/tzr_test_lake_{name}"
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
+def assert_matches_oracle(lake_root, binlog_dir):
+    res = oracle.compare_states(
+        Lake(lake_root).to_arrow(), oracle.materialize(binlog_dir, evolved=True)
+    )
+    assert res["ok"], res["mismatches"][:3]
+    return res
+
+
+def test_golden_replay(binlog_dir):
+    root = fresh_lake("golden")
+    stats = replay(binlog_dir, root, num_buckets=16, chunk_shards=2)
+    assert stats["chunks"] == 2
+    assert_matches_oracle(root, binlog_dir)
+    man = Lake(root).latest_manifest()
+    # per-partition HWMs + lineage/metrics are checkpointed in the manifest
+    assert man["applied_through"] == N_EVENTS - 1
+    assert all(int(v) >= 0 for v in man["hwm"].values())
+    assert all("events_per_sec" in e for e in man["lineage"])
+    # schema evolved additively
+    names = [f["name"] for f in man["schema"]]
+    assert names[:7] == ["repo", "path", "commit", "lang", "content", "commit_seq", "content_sha256"]
+    assert "branch" in names and "size_bytes" in names
+
+
+def test_duplicate_delivery_exists(binlog_dir):
+    """The fixture really does duplicate events at shard boundaries."""
+    offsets = []
+    for f in sorted(glob.glob(f"{binlog_dir}/part-*.parquet")):
+        offsets.extend(pq.read_table(f, columns=["offset"])["offset"].to_pylist())
+    assert len(offsets) > N_EVENTS  # duplicates present
+    assert len(set(offsets)) == N_EVENTS
+
+
+def test_resume_after_clean_stop(binlog_dir):
+    root = fresh_lake("resume")
+    s1 = replay(binlog_dir, root, num_buckets=16, chunk_shards=2, stop_after_chunks=1)
+    assert s1["chunks"] == 1
+    v1 = Lake(root).latest_manifest()["version"]
+    s2 = replay(binlog_dir, root, num_buckets=16, chunk_shards=2)
+    assert s2["chunks"] == 1  # only the remaining chunk was applied
+    assert Lake(root).latest_manifest()["version"] == v1 + 1
+    assert_matches_oracle(root, binlog_dir)
+
+
+def test_crash_before_commit_then_rerun(binlog_dir):
+    """Worst-case crash window: chunk data files staged, manifest NOT
+    committed. Rerun must re-apply that chunk exactly once."""
+    root = fresh_lake("crash")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        replay(binlog_dir, root, num_buckets=16, chunk_shards=2, crash_before_commit_of_chunk=2)
+    man = Lake(root).latest_manifest()
+    assert len(man["applied_chunks"]) == 1  # chunk 2 not committed
+    replay(binlog_dir, root, num_buckets=16, chunk_shards=2)
+    man = Lake(root).latest_manifest()
+    assert len(man["applied_chunks"]) == 2
+    assert len(set(man["applied_chunks"])) == 2  # no duplicate applies
+    assert_matches_oracle(root, binlog_dir)
+
+
+def test_rerun_when_complete_is_noop(binlog_dir):
+    root = fresh_lake("noop")
+    replay(binlog_dir, root, num_buckets=16, chunk_shards=2)
+    v = Lake(root).latest_manifest()["version"]
+    stats = replay(binlog_dir, root, num_buckets=16, chunk_shards=2)
+    assert stats["chunks"] == 0
+    assert Lake(root).latest_manifest()["version"] == v
+
+
+def test_evolution_nulls_before_boundary(binlog_dir):
+    root = fresh_lake("evo")
+    replay(binlog_dir, root, num_buckets=16, chunk_shards=2)
+    t = Lake(root).to_arrow()
+    pre = t.filter(__import__("pyarrow").compute.less(t["commit_seq"], 4_500))
+    assert pre.num_rows > 0
+    assert pre["branch"].null_count == pre.num_rows  # pre-evolution rows read as null
+
+
+def test_skew_salting():
+    """A hot repo must trigger the salted pre-reduce and still merge
+    correctly (FIXTURES.md: Zipf skew; SURVEY.md §4 skew row)."""
+    bl = "/tmp/tzr_test_binlog_hot"
+    shutil.rmtree(bl, ignore_errors=True)
+    generate_binlog(
+        bl, n_events=4_000, n_repos=3, paths_per_repo=40, shard_events=2_000,
+        content_median=96, zipf_alpha=3.0,
+    )
+    root = fresh_lake("hot")
+    replay(bl, root, num_buckets=8, chunk_shards=2, salt_threshold=5, num_salts=4)
+    man = Lake(root).latest_manifest()
+    assert any(e.get("hot_buckets_salted") for e in man["lineage"])
+    res = oracle.compare_states(Lake(root).to_arrow(), oracle.materialize(bl))
+    assert res["ok"], res["mismatches"][:3]
+
+
+def test_lake_key_pruned_read(binlog_dir):
+    root = fresh_lake("prune")
+    replay(binlog_dir, root, num_buckets=16, chunk_shards=2)
+    lake = Lake(root)
+    t = lake.to_arrow()
+    repo, path = t["repo"][0].as_py(), t["path"][0].as_py()
+    pruned = lake.read(key=(repo, path))
+    # only ONE bucket file is opened; the key's row is in it
+    assert pruned.input_files() == [
+        os.path.join(root, lake.latest_manifest()["files"][str(key_bucket(repo, path, 16))]["path"])
+    ]
+    rows = pruned.to_pandas()
+    assert ((rows["repo"] == repo) & (rows["path"] == path)).any()
+
+
+def test_vacuum_and_manifest_history(binlog_dir):
+    root = fresh_lake("vacuum")
+    replay(binlog_dir, root, num_buckets=16, chunk_shards=2)
+    lake = Lake(root)
+    before = set(os.listdir(os.path.join(root, "data")))
+    removed = lake.vacuum()
+    assert set(removed) <= before
+    # superseded v1 files from chunk-1-only buckets are gone; state intact
+    assert_matches_oracle(root, binlog_dir)
+    # manifest history is append-only versions
+    versions = sorted(os.listdir(os.path.join(root, "manifests")))
+    assert versions == [f"manifest-{v:06d}.json" for v in range(len(versions))]
+
+
+def test_rebucket_compaction(binlog_dir):
+    src = fresh_lake("rb_src")
+    replay(binlog_dir, src, num_buckets=16, chunk_shards=2)
+    dst = fresh_lake("rb_dst")
+    man = rebucket(src, dst, new_num_buckets=4)
+    assert man["num_buckets"] == 4 and len(man["files"]) <= 4
+    a = Lake(src).to_arrow().sort_by([("repo", "ascending"), ("path", "ascending")])
+    b = Lake(dst).to_arrow().sort_by([("repo", "ascending"), ("path", "ascending")])
+    assert a.equals(b.select(a.column_names))
