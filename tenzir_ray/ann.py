@@ -1,0 +1,168 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`knn_brute` — exact cosine top-k: the query matrix is
+  broadcast ONCE (``ray.put``), each batch does one numpy matmul and
+  emits its local top-k; a tiny driver-side merge reduces
+  batches×k candidates to the global top-k. The payload never
+  shuffles; only (query_id, vec_id, score) triples move.
+- :func:`knn_ivf` — the scale path: coarse k-means centroids fitted on
+  a driver-side SAMPLE, vectors assigned to their nearest centroid in
+  one pass, queries probe only ``nprobe`` nearest lists. Same
+  broadcast + local-topk + small-merge shape, over a pruned subset.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+_PYARROW = dict(batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.stack(col.to_pandas().to_numpy()).astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def knn_brute(
+    ds: Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Exact cosine top-k. Returns a DataFrame
+    (query_id, rank, vec_id, score) — deterministic tie-break on
+    (score desc, vec_id asc)."""
+    qn = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    q_ref = ray.put(qn)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        vecs = _normalize(_to_matrix(t[vec_col]))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sims = vecs @ q.T  # (n, nq)
+        kk = min(k, len(ids))
+        out_q, out_id, out_s = [], [], []
+        for qi in range(q.shape[0]):
+            s = sims[:, qi]
+            # top-k by score desc then id asc (lexsort keys reversed)
+            top = np.lexsort((ids, -s))[:kk]
+            out_q.extend([qi] * kk)
+            out_id.extend(ids[top].tolist())
+            out_s.extend(s[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                id_col: pa.array(out_id),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(local_topk, **_PYARROW).to_pandas()
+    cand = cand.sort_values(["query_id", "score", id_col], ascending=[True, False, True])
+    out = cand.groupby("query_id", group_keys=False).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount()
+    return out[["query_id", "rank", id_col, "score"]]
+
+
+class IVFIndex:
+    """Coarse inverted-file index: k-means centroids + per-vector list
+    assignment (stored as an extra column)."""
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = _normalize(centroids)
+
+    @classmethod
+    def fit(cls, ds: Dataset, vec_col: str, n_lists: int = 16, sample_n: int = 2048, seed: int = 3, iters: int = 10):
+        """Fit centroids on a sample (driver-side numpy Lloyd's — the
+        sample is small by construction; the full data never leaves
+        the cluster)."""
+        sample = _to_matrix(
+            pa.concat_tables(
+                [pa.table(b) for b in ds.limit(sample_n).iter_batches(batch_format="pyarrow")]
+            )[vec_col]
+        )
+        rng = np.random.default_rng(seed)
+        cent = sample[rng.choice(len(sample), min(n_lists, len(sample)), replace=False)]
+        for _ in range(iters):
+            assign = np.argmax(_normalize(sample) @ _normalize(cent).T, axis=1)
+            for c in range(len(cent)):
+                members = sample[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        return cls(cent)
+
+    def assign(self, ds: Dataset, vec_col: str = "embedding") -> Dataset:
+        cent_ref = ray.put(self.centroids)
+
+        def tag(t: pa.Table) -> pa.Table:
+            cents = ray.get(cent_ref)
+            lists = np.argmax(_normalize(_to_matrix(t[vec_col])) @ cents.T, axis=1)
+            return t.append_column("__ivf_list", pa.array(lists, type=pa.int64()))
+
+        return ds.map_batches(tag, **_PYARROW)
+
+
+def knn_ivf(
+    ds: Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 16,
+    nprobe: int = 4,
+    index: Optional[IVFIndex] = None,
+) -> pd.DataFrame:
+    """Approximate cosine top-k probing only ``nprobe`` IVF lists per
+    query. Recall < 1.0 by design; raise nprobe to trade speed for
+    recall."""
+    qn = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    if index is None:
+        index = IVFIndex.fit(ds, vec_col, n_lists=n_lists)
+    tagged = index.assign(ds, vec_col)
+    probe_lists = np.argsort(-(qn @ index.centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    allowed = {qi: set(row.tolist()) for qi, row in enumerate(probe_lists)}
+    allowed_ref = ray.put(allowed)
+    q_ref = ray.put(qn)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        q, allow = ray.get(q_ref), ray.get(allowed_ref)
+        vecs = _normalize(_to_matrix(t[vec_col]))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        lists = t["__ivf_list"].to_numpy(zero_copy_only=False)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(q.shape[0]):
+            mask = np.isin(lists, list(allow[qi]))
+            if not mask.any():
+                continue
+            s = vecs[mask] @ q[qi]
+            sub_ids = ids[mask]
+            kk = min(k, len(sub_ids))
+            top = np.lexsort((sub_ids, -s))[:kk]
+            out_q.extend([qi] * kk)
+            out_id.extend(sub_ids[top].tolist())
+            out_s.extend(s[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                id_col: pa.array(out_id),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    cand = tagged.map_batches(local_topk, **_PYARROW).to_pandas()
+    if cand.empty:
+        return pd.DataFrame(columns=["query_id", "rank", id_col, "score"])
+    cand = cand.sort_values(["query_id", "score", id_col], ascending=[True, False, True])
+    out = cand.groupby("query_id", group_keys=False).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount()
+    return out[["query_id", "rank", id_col, "score"]]

@@ -1,0 +1,69 @@
+"""Dedup operator tests on small constructed corpora."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from tenzir_ray import dedup
+
+
+def docs_ds():
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running through the field "
+        "while the sun sets slowly behind distant mountains in the golden evening light"
+    )
+    texts = [
+        base,
+        base,                                  # exact dup of 0
+        base.replace("golden", "amber"),       # near-dup of 0
+        "completely different content about database systems and query optimization techniques "
+        "for distributed analytical engines running on commodity clusters at scale",
+        "yet another unrelated document discussing neural network training dynamics and "
+        "gradient descent convergence properties under various learning rate schedules",
+    ]
+    return ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+
+
+def test_dedup_exact():
+    out = dedup.dedup_exact(docs_ds(), on="text", id_col="doc_id")
+    ids = sorted(r["doc_id"] for r in out.to_pandas().to_dict("records"))
+    assert ids == [0, 2, 3, 4]  # doc 1 (exact dup, higher id) dropped
+
+
+def test_dedup_minhash_lsh():
+    out = dedup.dedup_minhash_lsh(
+        docs_ds(), "text", "doc_id", num_perm=64, bands=16, threshold=0.5
+    )
+    ids = sorted(r["doc_id"] for r in out.to_pandas().to_dict("records"))
+    assert 0 in ids and 3 in ids and 4 in ids
+    assert 1 not in ids  # exact dup must go
+    assert 2 not in ids  # near dup should be caught at threshold 0.5
+
+
+def test_jaccard_kernel():
+    assert dedup.jaccard("abcdefgh", "abcdefgh") == 1.0
+    assert dedup.jaccard("abcdefgh", "zzzzzzzz") == 0.0
+
+
+def test_dedup_simhash():
+    out = dedup.dedup_simhash(docs_ds(), "text", "doc_id", max_hamming=6)
+    ids = sorted(r["doc_id"] for r in out.to_pandas().to_dict("records"))
+    assert 1 not in ids  # exact dup collapses (hamming 0)
+    assert 3 in ids and 4 in ids
+
+
+def test_dedup_embedding():
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=8)
+    vecs = [a, a + rng.normal(scale=0.01, size=8), rng.normal(size=8), rng.normal(size=8)]
+    t = pa.table(
+        {
+            "vec_id": [0, 1, 2, 3],
+            "embedding": pa.array([v.tolist() for v in vecs], type=pa.list_(pa.float32())),
+        }
+    )
+    out = dedup.dedup_embedding(ray.data.from_arrow(t), "embedding", "vec_id", threshold=0.99)
+    ids = sorted(r["vec_id"] for r in out.to_pandas().to_dict("records"))
+    assert ids == [0, 2, 3]  # 1 is a near-dup of 0
