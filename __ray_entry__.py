@@ -1,44 +1,558 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship CDC pipeline (binlog replay → LWW merge →
+exactly-once lake) at smoke scale. ``queries()`` exposes one callable
+per implemented operator/pipeline from SURVEY.md §2 over the driver's
+parquet tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL for
+every SQL-expressible one (same output column names — the driver
+hash-compares values after sorting columns by name).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the DRIVER before importing this module: nothing
+here (or in tenzir_ray) calls ray.init()/ray.shutdown().
+
+Float-valued aggregates are rounded identically on both sides (Ray and
+SQL) so value-hashes are insensitive to summation order.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from tenzir_ray import ann, dedup, ops, text
+from tenzir_ray.sources import read_parquet
+
+_PYARROW = dict(batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _round_cols(ds, cols, ndigits=2):
+    """Deterministic rounding shared with the oracle SQL: BOTH sides
+    compute floor(x * 10^n + 0.5) / 10^n, so value-hashes are immune to
+    round-half-mode differences between Arrow and DuckDB."""
+    m = float(10**ndigits)
+
+    def apply(t: pa.Table) -> pa.Table:
+        for c in cols:
+            if c in t.column_names:
+                i = t.column_names.index(c)
+                col = t[c].cast(pa.float64())
+                r = pc.divide(pc.floor(pc.add(pc.multiply(col, m), 0.5)), m)
+                t = t.set_column(i, c, r)
+        return t
+
+    return ds.map_batches(apply, **_PYARROW)
+
+
+def _sqlr(expr: str, ndigits: int = 2) -> str:
+    """The SQL twin of _round_cols."""
+    m = 10**ndigits
+    return f"floor(({expr}) * {m} + 0.5) / {m}"
+
+
+# ---------------------------------------------------------------------------
+# CDC flagship
+# ---------------------------------------------------------------------------
+
+_ENTRY_BINLOG = "/tmp/tzr_entry_binlog"
+_ENTRY_LAKE = "/tmp/tzr_entry_lake"
+
+
+def _ensure_binlog(path: str, n_events: int, **kwargs) -> str:
+    from tenzir_ray.cdc.binlog import META_NAME, generate_binlog
+
+    if not os.path.exists(os.path.join(path, META_NAME)):
+        generate_binlog(path, n_events=n_events, **kwargs)
+    return path
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: deterministic binlog → resumable exactly-once CDC
+    replay → lake Dataset (schema: repo, path, commit, lang, content,
+    commit_seq, content_sha256)."""
+    import shutil
+
+    from tenzir_ray.cdc.engine import replay
+    from tenzir_ray.cdc.lake import Lake
+
+    _ensure_binlog(
+        _ENTRY_BINLOG, n_events=8_000, n_repos=20, paths_per_repo=25,
+        shard_events=2_000, content_median=128,
+    )
+    shutil.rmtree(_ENTRY_LAKE, ignore_errors=True)
+    replay(_ENTRY_BINLOG, _ENTRY_LAKE, num_buckets=16, chunk_shards=2)
+    return Lake(_ENTRY_LAKE).read()
+
+
+def _cdc_replay_query(sf_dir: str) -> Any:
+    """CDC golden replay as a queries() entry (rows-only check here;
+    the full per-row sha256 parity vs the DuckDB oracle is asserted in
+    tests/test_cdc.py)."""
+    import shutil
+
+    from tenzir_ray.cdc.engine import replay
+    from tenzir_ray.cdc.lake import Lake
+
+    binlog = "/tmp/tzr_q_binlog"
+    lake = "/tmp/tzr_q_lake"
+    _ensure_binlog(
+        binlog, n_events=12_000, n_repos=30, paths_per_repo=30,
+        shard_events=3_000, content_median=128, evolution_offset=9_000,
+    )
+    shutil.rmtree(lake, ignore_errors=True)
+    replay(binlog, lake, num_buckets=16, chunk_shards=2)
+    t = Lake(lake).to_arrow()
+    return t.sort_by([("repo", "ascending"), ("path", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# operator-library queries (each with an oracle below)
+# ---------------------------------------------------------------------------
+
+
+def _q_where(sf_dir):
+    ds = read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount"],
+        predicate="l_quantity > 30 && l_discount < 0.05",
+    )
+    return ds
+
+
+def _q_project(sf_dir):
+    ds = read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
+    )
+    ds = ops.put(
+        ds,
+        {
+            "l_orderkey": "l_orderkey",
+            "l_linenumber": "l_linenumber",
+            "revenue": "l_extendedprice * (1 - l_discount)",
+        },
+    )
+    return _round_cols(ds, ["revenue"], 2)
+
+
+def _q_summarize_q1(sf_dir):
+    ds = read_parquet(_t(sf_dir, "lineitem"))
+    ds = ops.where(ds, 'l_shipdate <= "1998-09-02"')
+    ds = ops.extend(ds, {"disc_price": "l_extendedprice * (1 - l_discount)"})
+    out = ops.summarize(
+        ds,
+        aggs={
+            "sum_qty": ("sum", "l_quantity"),
+            "sum_base_price": ("sum", "l_extendedprice"),
+            "sum_disc_price": ("sum", "disc_price"),
+            "avg_qty": ("mean", "l_quantity"),
+            "avg_price": ("mean", "l_extendedprice"),
+            "count_order": ("count", None),
+        },
+        by=["l_returnflag", "l_linestatus"],
+    )
+    return _round_cols(out, ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty", "avg_price"], 2)
+
+
+def _q_summarize_by_hour(sf_dir):
+    ds = read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+    out = ops.summarize(
+        ds,
+        aggs={"n": ("count", None), "sum_value": ("sum", "value")},
+        by="ts",
+        resolution={"ts": "1h"},
+    )
+    return _round_cols(out, ["sum_value"], 2)
+
+
+def _q_top(sf_dir):
+    return ops.top(read_parquet(_t(sf_dir, "events"), columns=["event_type"]), "event_type", k=3)
+
+
+def _q_rare(sf_dir):
+    return ops.rare(read_parquet(_t(sf_dir, "events"), columns=["event_type"]), "event_type", k=3)
+
+
+def _q_sort_head(sf_dir):
+    ds = read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    return ops.head(ops.sort(ds, ["o_totalprice", "o_orderkey"], descending=[True, False]), 10)
+
+
+def _q_tail(sf_dir):
+    ds = read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"])
+    return ops.tail(ops.sort(ds, "o_orderkey"), 5)
+
+
+def _q_taste(sf_dir):
+    ds = read_parquet(_t(sf_dir, "orders"), columns=["o_orderpriority", "o_orderkey"])
+    return ops.taste(ds, "o_orderpriority", n=2, order_by="o_orderkey")
+
+
+def _q_unique_consecutive(sf_dir):
+    ds = read_parquet(_t(sf_dir, "events"), columns=["event_id", "event_type"])
+    ds = ops.sort(ds, "event_id")
+    ds = ops.select(ds, ["event_type"])
+    return ops.unique(ds, strict=True)
+
+
+def _q_enumerate(sf_dir):
+    ds = ops.sort(read_parquet(_t(sf_dir, "nation")), "n_nationkey")
+    return ops.enumerate_op(ds, field="row_id")
+
+
+def _q_count_distinct(sf_dir):
+    ds = read_parquet(_t(sf_dir, "customer"), columns=["c_nationkey", "c_mktsegment"])
+    return ops.summarize(
+        ds,
+        aggs={"n_segments": ("count_distinct", "c_mktsegment"), "n_customers": ("count", None)},
+        by="c_nationkey",
+    )
+
+
+def _q_minmax_dates(sf_dir):
+    ds = read_parquet(_t(sf_dir, "orders"), columns=["o_orderpriority", "o_orderdate", "o_totalprice"])
+    out = ops.summarize(
+        ds,
+        aggs={
+            "min_date": ("min", "o_orderdate"),
+            "max_date": ("max", "o_orderdate"),
+            "max_price": ("max", "o_totalprice"),
+        },
+        by="o_orderpriority",
+    )
+    return _round_cols(out, ["max_price"], 2)
+
+
+def _q_any_all(sf_dir):
+    ds = read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+    ds = ops.extend(ds, {"big": "value > 100"})
+    return ops.summarize(
+        ds, aggs={"any_big": ("any", "big"), "all_big": ("all", "big")}, by="event_type"
+    )
+
+
+def _q_hash_docs(sf_dir):
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ops.drop(ops.hash_op(ds, "text", algo="sha256"), ["text"])
+
+
+def _q_rename_extend_replace(sf_dir):
+    ds = read_parquet(_t(sf_dir, "region"))
+    ds = ops.rename(ds, {"region_name": "r_name"})
+    ds = ops.extend(ds, {"key_plus_100": "r_regionkey + 100"})
+    return ops.replace(ds, {"r_regionkey": "r_regionkey * 10"})
+
+
+def _q_flatten(sf_dir):
+    ds = read_parquet(_t(sf_dir, "events"), columns=["event_id", "event_type", "value"])
+
+    def nest(t: pa.Table) -> pa.Table:
+        meta = pa.StructArray.from_arrays(
+            [t["event_type"].combine_chunks(), t["value"].combine_chunks()],
+            names=["event_type", "value"],
+        )
+        return pa.table({"event_id": t["event_id"], "meta": meta})
+
+    return ops.flatten(ds.map_batches(nest, **_PYARROW))
+
+
+def _q_parse_props(sf_dir):
+    ds = read_parquet(_t(sf_dir, "events"), columns=["event_id", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        k = pc.struct_field(pc.extract_regex(t["props"], r"(?P<k>\d+)"), "k").cast(pa.int64())
+        return pa.table({"event_id": t["event_id"], "k": k})
+
+    return ds.map_batches(extract, **_PYARROW)
+
+
+def _q_lww_latest_event(sf_dir):
+    """LWW-by-key semantics (the CDC merge) over a registered view: the
+    latest event per user (ties broken by event_id)."""
+    ds = read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type", "value"])
+
+    def latest(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        i = int(np.lexsort((eid, ts))[-1])
+        return g.take(pa.array([i]))
+
+    out = ds.groupby("user_id").map_groups(latest, batch_format="pyarrow")
+    return _round_cols(out, ["value"], 2)
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries
+# ---------------------------------------------------------------------------
+
+
+def _q_dedup_exact(sf_dir):
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "n_chars"])
+    return dedup.dedup_exact(ds, on="text", id_col="doc_id")
+
+
+def _q_token_count(sf_dir):
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ops.drop(text.token_count(ds), ["text"])
+
+
+def _q_bpe_token_count(sf_dir):
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ops.drop(text.bpe_token_count(ds), ["text"])
+
+
+def _q_fingerprint(sf_dir):
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ops.drop(text.fingerprint(ds), ["text"])
+
+
+def _q_quality(sf_dir):
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ops.drop(text.quality_score(ds), ["text"])
+    return _round_cols(out, ["punct_ratio", "stop_ratio", "mean_word_len", "quality"], 6)
+
+
+def _q_lang_id(sf_dir):
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ops.drop(text.lang_id(ds, concurrency=1), ["text"])
+
+
+def _q_dedup_minhash(sf_dir):
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = dedup.dedup_minhash_lsh(ds, "text", "doc_id", threshold=0.8)
+    return ops.drop(out, ["text"])
+
+
+def _q_dedup_simhash(sf_dir):
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ops.drop(dedup.dedup_simhash(ds, "text", "doc_id", max_hamming=2), ["text"])
+
+
+def _q_dedup_embedding(sf_dir):
+    ds = read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return ops.drop(dedup.dedup_embedding(ds, "embedding", "vec_id", threshold=0.999), ["embedding"])
+
+
+def _query_vec(sf_dir) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    i = t["vec_id"].to_pylist().index(0)
+    return np.array(t["embedding"][i].as_py(), dtype=np.float64)
+
+
+def _q_ann_brute(sf_dir):
+    ds = read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = ann.knn_brute(ds, _query_vec(sf_dir), k=10)
+    out = out[["rank", "vec_id", "score"]].copy()
+    out["score"] = np.floor(out["score"] * 1e4 + 0.5) / 1e4
+    return out
+
+
+def _q_ann_ivf(sf_dir):
+    ds = read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = ann.knn_ivf(ds, _query_vec(sf_dir), k=10, n_lists=8, nprobe=8)
+    out = out[["rank", "vec_id", "score"]].copy()
+    out["score"] = np.floor(out["score"] * 1e4 + 0.5) / 1e4
+    return out
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "where_filter": _q_where,
+        "project_revenue": _q_project,
+        "summarize_q1": _q_summarize_q1,
+        "summarize_by_hour": _q_summarize_by_hour,
+        "top_event_types": _q_top,
+        "rare_event_types": _q_rare,
+        "sort_head_orders": _q_sort_head,
+        "tail_orders": _q_tail,
+        "taste_per_priority": _q_taste,
+        "unique_consecutive": _q_unique_consecutive,
+        "enumerate_nations": _q_enumerate,
+        "count_distinct_segments": _q_count_distinct,
+        "minmax_dates": _q_minmax_dates,
+        "any_all_big": _q_any_all,
+        "hash_documents": _q_hash_docs,
+        "rename_extend_replace": _q_rename_extend_replace,
+        "flatten_struct": _q_flatten,
+        "parse_props": _q_parse_props,
+        "lww_latest_event_per_user": _q_lww_latest_event,
+        "dedup_exact_docs": _q_dedup_exact,
+        "token_count_docs": _q_token_count,
+        "bpe_token_count_docs": _q_bpe_token_count,
+        "fingerprint_docs": _q_fingerprint,
+        "quality_docs": _q_quality,
+        "lang_id_docs": _q_lang_id,
+        "dedup_minhash_docs": _q_dedup_minhash,
+        "dedup_simhash_docs": _q_dedup_simhash,
+        "dedup_embedding_vecs": _q_dedup_embedding,
+        "ann_brute_top10": _q_ann_brute,
+        "ann_ivf_top10": _q_ann_ivf,
+        "cdc_replay": _cdc_replay_query,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# SQL fragments shared by quality_docs (must mirror text.quality_score)
+_W = r"len(regexp_extract_all(text, '\S+'))"
+_P = r"len(regexp_extract_all(text, '[^\w\s]'))"
+_S = r"len(regexp_extract_all(text, '(?i)\b(?:the|and|of|to|a|in|is|that|it|for)\b'))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    bpe_re = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+    return {
+        "where_filter": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+            FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.05
+        """,
+        "project_revenue": f"""
+            SELECT l_orderkey, l_linenumber,
+                   {_sqlr('l_extendedprice * (1 - l_discount)')} AS revenue
+            FROM lineitem
+        """,
+        "summarize_q1": f"""
+            SELECT l_returnflag, l_linestatus,
+                   {_sqlr('sum(l_quantity)')} AS sum_qty,
+                   {_sqlr('sum(l_extendedprice)')} AS sum_base_price,
+                   {_sqlr('sum(l_extendedprice * (1 - l_discount))')} AS sum_disc_price,
+                   {_sqlr('avg(l_quantity)')} AS avg_qty,
+                   {_sqlr('avg(l_extendedprice)')} AS avg_price,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "summarize_by_hour": f"""
+            SELECT date_trunc('hour', ts) AS ts, count(*) AS n,
+                   {_sqlr('sum(value)')} AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "top_event_types": """
+            SELECT event_type, count(*) AS count FROM events
+            GROUP BY event_type ORDER BY count DESC, event_type ASC LIMIT 3
+        """,
+        "rare_event_types": """
+            SELECT event_type, count(*) AS count FROM events
+            GROUP BY event_type ORDER BY count ASC, event_type ASC LIMIT 3
+        """,
+        "sort_head_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "tail_orders": """
+            SELECT o_orderkey, o_orderdate FROM orders
+            ORDER BY o_orderkey DESC LIMIT 5
+        """,
+        "taste_per_priority": """
+            SELECT o_orderpriority, o_orderkey FROM orders
+            QUALIFY row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) <= 2
+        """,
+        "unique_consecutive": """
+            SELECT event_type FROM (
+                SELECT event_type, lag(event_type) OVER (ORDER BY event_id) AS prev
+                FROM events)
+            WHERE prev IS NULL OR event_type <> prev
+        """,
+        "enumerate_nations": """
+            SELECT row_number() OVER (ORDER BY n_nationkey) - 1 AS row_id,
+                   n_nationkey, n_name, n_regionkey
+            FROM nation
+        """,
+        "count_distinct_segments": """
+            SELECT c_nationkey, count(DISTINCT c_mktsegment) AS n_segments,
+                   count(*) AS n_customers
+            FROM customer GROUP BY c_nationkey
+        """,
+        "minmax_dates": f"""
+            SELECT o_orderpriority, min(o_orderdate) AS min_date,
+                   max(o_orderdate) AS max_date,
+                   {_sqlr('max(o_totalprice)')} AS max_price
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "any_all_big": """
+            SELECT event_type, bool_or(value > 100) AS any_big,
+                   bool_and(value > 100) AS all_big
+            FROM events GROUP BY event_type
+        """,
+        "hash_documents": """
+            SELECT doc_id, sha256(text) AS text_hash FROM documents
+        """,
+        "rename_extend_replace": """
+            SELECT r_regionkey * 10 AS r_regionkey, r_name AS region_name,
+                   r_regionkey + 100 AS key_plus_100
+            FROM region
+        """,
+        "flatten_struct": """
+            SELECT event_id, event_type AS "meta.event_type", value AS "meta.value"
+            FROM events
+        """,
+        "parse_props": """
+            SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+            FROM events
+        """,
+        "lww_latest_event_per_user": f"""
+            SELECT user_id, ts, event_id, event_type, {_sqlr('value')} AS value
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "dedup_exact_docs": """
+            SELECT doc_id, text, n_chars FROM documents
+            QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        """,
+        "token_count_docs": r"""
+            SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens
+            FROM documents
+        """,
+        "bpe_token_count_docs": f"""
+            SELECT doc_id, len(regexp_extract_all(text, '{bpe_re}')) AS n_bpe_tokens
+            FROM documents
+        """,
+        "fingerprint_docs": r"""
+            SELECT doc_id,
+                   sha256(array_to_string(list_sort(list_distinct(
+                       regexp_extract_all(lower(text), '\w+'))), ' ')) AS fingerprint
+            FROM documents
+        """,
+        "quality_docs": f"""
+            SELECT doc_id,
+                   {_sqlr(_P + " / greatest(len(text), 1)", 6)} AS punct_ratio,
+                   {_sqlr(_S + " / greatest(" + _W + ", 1)", 6)} AS stop_ratio,
+                   {_sqlr("len(text) / greatest(" + _W + ", 1)", 6)} AS mean_word_len,
+                   {_sqlr(
+                       "(least(" + _W + " / 100.0, 1.0)"
+                       " + least(3.0 * " + _S + " / greatest(" + _W + ", 1), 1.0)"
+                       " + (1.0 - least(4.0 * " + _P + " / greatest(len(text), 1), 1.0))) / 3.0",
+                       6,
+                   )} AS quality
+            FROM documents
+        """,
+        "ann_brute_top10": f"""
+            WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+            SELECT row_number() OVER (
+                       ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                                e.vec_id ASC) - 1 AS rank,
+                   e.vec_id,
+                   {_sqlr("list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[])", 4)} AS score
+            FROM embeddings e, q
+            ORDER BY rank LIMIT 10
+        """,
+        # lang_id_docs / dedup_minhash_docs / dedup_simhash_docs /
+        # dedup_embedding_vecs / ann_ivf_top10 / cdc_replay are not
+        # SQL-expressible (stateful / approximate / multi-stage); the
+        # driver records rows-only checks, and tests/test_cdc.py holds
+        # the strong CDC parity gate.
+    }

@@ -260,6 +260,20 @@ def _eval(node: Node, table: pa.Table):
         return fn(lhs, rhs)
     if isinstance(node, Cmp):
         lhs, rhs = _eval(node.lhs, table), _eval(node.rhs, table)
+        # string literal vs temporal column: cast the literal (ISO format),
+        # mirroring the reference's per-schema expression tailoring
+        for a, b in ((lhs, "rhs"), (rhs, "lhs")):
+            other = rhs if b == "rhs" else lhs
+            if (
+                isinstance(a, (pa.Array, pa.ChunkedArray))
+                and pa.types.is_temporal(a.type)
+                and isinstance(other, str)
+            ):
+                casted = pc.cast(pa.scalar(other), a.type)
+                if b == "rhs":
+                    rhs = casted
+                else:
+                    lhs = casted
         if node.op == "in":
             return pc.is_in(lhs, value_set=pa.array(rhs))
         if node.op == "not_in":

@@ -80,13 +80,16 @@ def _distinct_fn(on: str, name: str, count_only: bool) -> AggregateFn:
     set-based like the reference, NOT a sketch
     (``distinct.cpp:56-92``, ``count_distinct.cpp:55-110``). Per-block
     work is ``pc.unique`` (vectorized); only unique values enter the
-    Python set."""
+    accumulator. The accumulator is a LIST, not a set: Ray round-trips
+    accumulators through Arrow blocks between map and reduce, which
+    turns sets into lists."""
     return AggregateFn(
-        init=lambda k: set(),
-        accumulate_block=lambda acc, blk: acc
-        | set(pc.unique(_col(blk, on)).drop_null().to_pylist()),
-        merge=lambda a, b: a | b,
-        finalize=(lambda a: len(a)) if count_only else (lambda a: sorted(a)),
+        init=lambda k: [],
+        accumulate_block=lambda acc, blk: list(
+            set(acc) | set(pc.unique(_col(blk, on)).drop_null().to_pylist())
+        ),
+        merge=lambda a, b: list(set(a) | set(b)),
+        finalize=(lambda a: len(set(a))) if count_only else (lambda a: sorted(set(a))),
         name=name,
     )
 

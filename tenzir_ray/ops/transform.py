@@ -269,13 +269,21 @@ def tail(ds: Dataset, n: int = 10) -> Dataset:
     return ray.data.from_arrow_refs(keep)
 
 
-def taste(ds: Dataset, by: Union[str, Sequence[str]], n: int = 10) -> Dataset:
+def taste(
+    ds: Dataset,
+    by: Union[str, Sequence[str]],
+    n: int = 10,
+    order_by: Optional[str] = None,
+) -> Dataset:
     """First n events per group — the reference takes n per *schema*
     (`taste`, ``builtins/operators/taste.cpp:24-66``); with a single
-    unified schema we generalize to any group key."""
+    unified schema we generalize to any group key. ``order_by`` makes
+    "first" deterministic (sort within group before taking n)."""
     keys = [by] if isinstance(by, str) else list(by)
 
     def first_n(g):
+        if order_by is not None:
+            g = g.sort_values(order_by, kind="stable")
         return g.head(n)
 
     return ds.groupby(keys).map_groups(first_n, batch_format="pandas")
