@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+
+    {"metric": "cdc_replay_sec", "value": <headline sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": <sf>, "num_cpus": N,
+     "events_per_sec": ...}
+
+Headline: full CDC replay (binlog tail → parse/enrich → salted LWW
+merge → exactly-once manifest sink) of a cached deterministic bench
+binlog. Query timings run over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1).
+
+    RAY_GRAFT_CPUS=8 python bench.py          # one measured run
+    python bench.py --scaling                  # 8 vs 32 cpu fresh
+                                               # processes + efficiency
+
+This script OWNS its Ray session (init/shutdown); the library never
+does. The bench binlog is generated once into /tmp and reused by both
+scaling levels so the input is identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# bench binlog shape (cached; keyed by these params via the dir name)
+BENCH_EVENTS = int(os.environ.get("BENCH_EVENTS", "1500000"))
+BENCH_REPOS = 500
+BENCH_PATHS = 100
+BENCH_SHARD = 125_000
+BENCH_CONTENT = int(os.environ.get("BENCH_CONTENT", "256"))
+BENCH_BINLOG = f"/tmp/tzr_bench_binlog_{BENCH_EVENTS}_{BENCH_REPOS}_{BENCH_CONTENT}"
+BENCH_LAKE = f"/tmp/tzr_bench_lake_{NUM_CPUS}"
+NUM_BUCKETS = 64
+
+
+def ensure_bench_binlog() -> None:
+    from tenzir_ray.cdc.binlog import META_NAME, generate_binlog
+
+    if os.path.exists(os.path.join(BENCH_BINLOG, META_NAME)):
+        return
+    t0 = time.perf_counter()
+    generate_binlog(
+        BENCH_BINLOG,
+        n_events=BENCH_EVENTS,
+        n_repos=BENCH_REPOS,
+        paths_per_repo=BENCH_PATHS,
+        shard_events=BENCH_SHARD,
+        content_median=BENCH_CONTENT,
+        evolution_offset=int(BENCH_EVENTS * 0.8),
+    )
+    print(f"# generated bench binlog in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+
+def warm_page_cache() -> None:
+    """Untimed sequential read so both scaling levels measure compute +
+    shuffle, not first-touch disk."""
+    for name in sorted(os.listdir(BENCH_BINLOG)):
+        if name.endswith(".parquet"):
+            with open(os.path.join(BENCH_BINLOG, name), "rb") as f:
+                while f.read(1 << 22):
+                    pass
+
+
+def run_cdc_replay() -> dict:
+    from tenzir_ray.cdc.engine import replay
+
+    shutil.rmtree(BENCH_LAKE, ignore_errors=True)
+    t0 = time.perf_counter()
+    stats = replay(
+        BENCH_BINLOG,
+        BENCH_LAKE,
+        num_buckets=NUM_BUCKETS,
+        chunk_shards=6,
+    )
+    stats["total_sec"] = time.perf_counter() - t0
+    return stats
+
+
+def run_queries() -> dict:
+    """Representative operator pipelines over $GRAFT_SF_DIR."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    import ray.data
+
+    picks = [
+        "summarize_q1",
+        "where_filter",
+        "top_event_types",
+        "sort_head_orders",
+        "lww_latest_event_per_user",
+        "token_count_docs",
+        "dedup_minhash_docs",
+        "ann_brute_top10",
+    ]
+    qs = entrymod.queries()
+    out = {}
+    for name in picks:
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        if isinstance(res, ray.data.Dataset):
+            # consume without driver materialization of big payloads
+            n = 0
+            for b in res.iter_batches(batch_format="pyarrow"):
+                n += b.num_rows
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def one_run() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    ensure_bench_binlog()
+    warm_page_cache()
+    cdc = run_cdc_replay()
+    queries = run_queries()
+    ray.shutdown()
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(sf)
+    except ValueError:
+        pass
+    return {
+        "metric": "cdc_replay_sec",
+        "value": round(cdc["total_sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "events": cdc["events"],
+        "events_per_sec": cdc["events_per_sec"],
+        "chunks": cdc["chunks"],
+    }
+
+
+def scaling() -> dict:
+    """Two fresh processes at 8 and 32 CPUs over the SAME input — the
+    sandbox stand-in for N- vs 4N-node clusters (BASELINE.json
+    scaling criterion: efficiency >= 0.8)."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "events_per_sec_8": lo["events_per_sec"],
+        "events_per_sec_32": hi["events_per_sec"],
+        "events": lo["events"],
+        "criterion": ">= 0.8",
+        "passed": eff >= 0.8,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(scaling()))
+    else:
+        print(json.dumps(one_run()))

@@ -48,29 +48,63 @@ _VALID_OPS = ("insert", "update", "delete")
 EXT_TO_LANG = {"py": "py", "rs": "rs", "cc": "cpp", "go": "go", "js": "js", "md": "md", "yml": "yaml"}
 
 
-def parse_events(batch: pa.Table, num_buckets: int) -> pa.Table:
-    """Typed parse: validate op, stamp content_sha256 + _bucket.
+def _str_slices(col: pa.ChunkedArray):
+    """Yield one memoryview (or None for null) per row of a string
+    column, straight off the Arrow buffers — NO Python str objects are
+    materialized. This matters: the CDC hot path is memory-bandwidth
+    bound, and ``to_pylist()`` on the wide ``content`` column would
+    copy+decode every byte a second time."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    for chunk in chunks:
+        bufs = chunk.buffers()
+        if pa.types.is_large_string(chunk.type):
+            offs = np.frombuffer(bufs[1], dtype=np.int64, offset=8 * chunk.offset,
+                                 count=len(chunk) + 1)
+        else:
+            offs = np.frombuffer(bufs[1], dtype=np.int32, offset=4 * chunk.offset,
+                                 count=len(chunk) + 1)
+        data = memoryview(bufs[2])
+        if chunk.null_count:
+            nulls = np.asarray(chunk.is_null())
+            for i in range(len(chunk)):
+                yield None if nulls[i] else data[offs[i] : offs[i + 1]]
+        else:
+            for i in range(len(chunk)):
+                yield data[offs[i] : offs[i + 1]]
 
-    sha256 has no vectorized Arrow kernel; hashlib's C core does the
-    digesting and dominates useful compute here (it IS the parity
-    invariant, BASELINE.json). crc32 (also C) computes the bucket."""
+
+def parse_events(batch: pa.Table, num_buckets: int) -> pa.Table:
+    """Typed parse: validate op, stamp content_sha256, _bucket and the
+    64-bit key hash ``_key``.
+
+    sha256 has no vectorized Arrow kernel; hashlib's C core digests
+    straight from the Arrow buffers (it IS the parity invariant,
+    BASELINE.json). The key hash is a composite of two crc32s
+    (crc(repo||0) chained into path) → 64 bits; the within-batch
+    combiner dedups on it (collision odds ~2^-64 per pair; the
+    per-bucket FINAL merge compares real strings, so a collision could
+    only affect intra-chunk combining, never the lake state
+    erroneously keyed)."""
     op_ok = pc.is_in(batch["op"], value_set=pa.array(_VALID_OPS))
     if not pc.all(op_ok).as_py():
         batch = batch.filter(op_ok)
 
-    repos = batch["repo"].to_pylist()
-    paths = batch["path"].to_pylist()
+    n = batch.num_rows
+    _sha256, _crc = hashlib.sha256, zlib.crc32
     sha = [
-        None if c is None else hashlib.sha256(c.encode()).hexdigest()
-        for c in batch["content"].to_pylist()
+        None if mv is None else _sha256(mv).hexdigest()
+        for mv in _str_slices(batch["content"])
     ]
-    buckets = np.fromiter(
-        (zlib.crc32(f"{r}\x00{p}".encode()) % num_buckets for r, p in zip(repos, paths)),
-        dtype=np.int64,
-        count=len(repos),
-    )
+    keys = np.empty(n, dtype=np.uint64)
+    i = 0
+    for r_mv, p_mv in zip(_str_slices(batch["repo"]), _str_slices(batch["path"])):
+        hi = _crc(b"\x00", _crc(r_mv))
+        keys[i] = (hi << 32) | _crc(p_mv, hi)
+        i += 1
+    buckets = (keys % np.uint64(num_buckets)).astype(np.int64)
     batch = batch.append_column("content_sha256", pa.array(sha, type=pa.string()))
-    return batch.append_column("_bucket", pa.array(buckets, type=pa.int64()))
+    batch = batch.append_column("_bucket", pa.array(buckets, type=pa.int64()))
+    return batch.append_column("_key", pa.array(keys, type=pa.uint64()))
 
 
 class LangEnrich:
@@ -88,15 +122,17 @@ class LangEnrich:
     def __call__(self, batch: pa.Table) -> pa.Table:
         lang = batch["lang"]
         null_mask = pc.and_(pc.is_null(lang), pc.not_equal(batch["op"], "delete"))
-        if not pc.any(null_mask).as_py():
+        need = np.asarray(pc.fill_null(null_mask, False))
+        hits = np.flatnonzero(need)
+        if not len(hits):
             return batch
+        # touch ONLY the rows that need filling
         langs = lang.to_pylist()
-        need = null_mask.to_pylist() if not isinstance(null_mask, pa.ChunkedArray) else null_mask.combine_chunks().to_pylist()
-        paths = batch["path"].to_pylist()
-        for i, (n, p) in enumerate(zip(need, paths)):
-            if n:
-                m = self.ext_re.search(p or "")
-                langs[i] = self.rules.get(m.group(1)) if m else None
+        path_col = batch["path"]
+        for i in hits:
+            p = path_col[int(i)].as_py() or ""
+            m = self.ext_re.search(p)
+            langs[int(i)] = self.rules.get(m.group(1)) if m else None
         idx = batch.column_names.index("lang")
         return batch.set_column(idx, "lang", pa.array(langs, type=pa.string()))
 
@@ -107,7 +143,7 @@ def build_chunk_pipeline(
     *,
     enrich: bool = True,
     enrich_concurrency: Optional[int] = None,
-    batch_size: int = 8192,
+    batch_size: int = 16384,
 ) -> Dataset:
     """tail(read) → parse → enrich for one chunk of binlog shards.
 
@@ -139,6 +175,21 @@ def build_chunk_pipeline(
     return ds
 
 
+def _chunk_schema(shard_paths: List[str]) -> pa.Schema:
+    """Post-parse event schema from parquet FOOTERS only (no data read,
+    no pipeline execution): unified shard schema + the columns the
+    parse stage appends."""
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.schema import unify_schemas
+
+    base = unify_schemas([pq.read_schema(p) for p in shard_paths])
+    fields = list(base)
+    fields.append(pa.field("content_sha256", pa.string()))
+    fields.append(pa.field("_bucket", pa.int64()))
+    return pa.schema(fields)
+
+
 def replay(
     binlog_dir: str,
     lake_root: str,
@@ -167,6 +218,13 @@ def replay(
     pending = bl.pending_shards(binlog_dir, man["applied_through"])
     stats = {"chunks": 0, "events": 0, "wall_sec": 0.0}
     chunk_no = 0
+    # running skew histogram: element-wise max of the last chunks'
+    # per-bucket delta counts (sticky, so a salted bucket whose count
+    # shrinks BECAUSE of salting stays flagged)
+    histogram: Dict[int, int] = {}
+    for entry in man["lineage"]:
+        for b, c in entry.get("bucket_delta_rows", {}).items():
+            histogram[int(b)] = max(histogram.get(int(b), 0), int(c))
     for i in range(0, len(pending), chunk_shards):
         group = pending[i : i + chunk_shards]
         chunk_no += 1
@@ -175,6 +233,7 @@ def replay(
         chunk_id = f"chunk-{group[0]['min_offset']}-{group[-1]['max_offset']}"
         shard_paths = [f"{binlog_dir}/{s['file']}" for s in group]
         n_events = sum(s["rows"] for s in group)
+        events_schema = _chunk_schema(shard_paths)
 
         t0 = time.perf_counter()
         events = build_chunk_pipeline(
@@ -192,8 +251,12 @@ def replay(
             chunk_max_offset=group[-1]["max_offset"],
             salt_threshold=salt_threshold,
             num_salts=num_salts,
+            hot_buckets=histogram,
             lineage_extra={"events": n_events},
+            events_schema=events_schema,
         )
+        for b, c in man["lineage"][-1].get("bucket_delta_rows", {}).items():
+            histogram[int(b)] = max(histogram.get(int(b), 0), int(c))
         wall = time.perf_counter() - t0
         man["lineage"][-1].update(
             {"wall_sec": round(wall, 3), "events_per_sec": round(n_events / max(wall, 1e-9), 1)}
@@ -239,11 +302,13 @@ def rebucket(lake_root: str, new_root: str, new_num_buckets: int) -> Dict:
 
     ds = old.read()
 
+    from tenzir_ray.cdc.lake import key_hash64
+
     def assign(batch: pa.Table) -> pa.Table:
         buckets = np.fromiter(
             (
-                zlib.crc32(f"{r}\x00{p}".encode()) % new_num_buckets
-                for r, p in zip(batch["repo"].to_pylist(), batch["path"].to_pylist())
+                key_hash64(r, p) % new_num_buckets
+                for r, p in zip(_str_slices(batch["repo"]), _str_slices(batch["path"]))
             ),
             dtype=np.int64,
             count=batch.num_rows,

@@ -42,14 +42,23 @@ from tenzir_ray.schema import LAKE_SCHEMA, schema_from_json, schema_to_json
 _MANIFEST_RE = re.compile(r"^manifest-(\d{6})\.json$")
 
 
+def key_hash64(repo_bytes: bytes, path_bytes: bytes) -> int:
+    """THE canonical 64-bit key hash of (repo, path): two chained
+    crc32s — crc(repo||0x00) in the high word, crc(repo||0x00||path)
+    in the low word. crc32 is deterministic across processes/runs
+    (unlike Python's builtin hash), which resume correctness requires.
+    Every component (parse stage, lake pruning, rebucket) derives
+    buckets as ``key_hash64 % num_buckets``."""
+    hi = zlib.crc32(b"\x00", zlib.crc32(repo_bytes))
+    return (hi << 32) | zlib.crc32(path_bytes, hi)
+
+
 def key_bucket(repo: Union[str, Sequence[str]], path: Union[str, Sequence[str]], num_buckets: int):
-    """Stable hash-partition of the merge key (repo, path) — crc32 is
-    deterministic across processes/runs (unlike Python's builtin hash),
-    which resume correctness requires."""
+    """Stable hash-partition of the merge key (repo, path)."""
     if isinstance(repo, str):
-        return zlib.crc32(f"{repo}\x00{path}".encode()) % num_buckets
+        return key_hash64(repo.encode(), path.encode()) % num_buckets
     return np.array(
-        [zlib.crc32(f"{r}\x00{p}".encode()) % num_buckets for r, p in zip(repo, path)],
+        [key_hash64(r.encode(), p.encode()) % num_buckets for r, p in zip(repo, path)],
         dtype=np.int64,
     )
 

@@ -52,7 +52,7 @@ from tenzir_ray.cdc.lake import Lake
 from tenzir_ray.schema import conform, schema_from_json, schema_to_json, unify_schemas
 
 # event-stream bookkeeping columns that do NOT become lake columns
-_EVENT_ONLY = ("offset", "op", "_bucket", "_salt")
+_EVENT_ONLY = ("offset", "op", "_bucket", "_salt", "_key")
 
 
 def lake_schema_after(prev: pa.Schema, events: pa.Schema) -> pa.Schema:
@@ -82,15 +82,31 @@ def _lww_winner_positions(t: pa.Table) -> np.ndarray:
 def lww_reduce(t: pa.Table) -> pa.Table:
     """Partial LWW: keep the latest event per key; tombstones survive as
     rows (they must: a later delete has to beat an earlier update in a
-    later reduction round)."""
+    later reduction round).
+
+    Fast path: when every row carries the 64-bit ``_key`` hash, the
+    winners are found with pure numpy (no string materialization).
+    Rows without ``_key`` (lake base rows in the final merge) fall back
+    to exact string keys."""
     if t.num_rows <= 1:
         return t
+    if "_key" in t.column_names and t["_key"].null_count == 0:
+        keys = t["_key"].to_numpy(zero_copy_only=False)
+        cs = t["commit_seq"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((cs, keys))
+        sk = keys[order]
+        is_last = np.ones(len(sk), dtype=bool)
+        is_last[:-1] = sk[1:] != sk[:-1]
+        winners = np.sort(order[is_last])
+        return t.take(pa.array(winners))
     return t.take(pa.array(_lww_winner_positions(t)))
 
 
 def combiner_batch(batch: pa.Table, hwm: Dict[int, int], applied_through: int) -> pa.Table:
     """Stage 1: HWM filter + within-batch LWW combine (stateless
-    map_batches task)."""
+    map_batches task; numpy-only — see :func:`lww_reduce`)."""
+    if batch.num_rows == 0:
+        return batch
     offsets = batch["offset"].to_numpy(zero_copy_only=False)
     keep = offsets > applied_through
     if hwm:
@@ -120,6 +136,7 @@ class _FinalMerge:
         bucket = delta["_bucket"][0].as_py()
         target = schema_from_json(self.schema_json)
         max_offset = int(pc.max(delta["offset"]).as_py())
+        delta_rows = delta.num_rows  # feeds the running skew histogram
 
         base_rel = self.bucket_files.get(str(bucket))
         if base_rel is not None:
@@ -150,20 +167,9 @@ class _FinalMerge:
                 "rows": pa.array([out.num_rows], type=pa.int64()),
                 "bytes": pa.array([os.path.getsize(final_path)], type=pa.int64()),
                 "max_offset": pa.array([max_offset], type=pa.int64()),
+                "delta_rows": pa.array([int(delta_rows)], type=pa.int64()),
             }
         )
-
-
-def bucket_counts(combined: Dataset) -> Dict[int, int]:
-    """Cheap skew probe: per-batch bucket value-counts -> tiny tables ->
-    driver-side sum. No shuffle (vs a groupby().count())."""
-
-    def count(t: pa.Table) -> pa.Table:
-        b, c = np.unique(t["_bucket"].to_numpy(zero_copy_only=False), return_counts=True)
-        return pa.table({"b": pa.array(b, type=pa.int64()), "c": pa.array(c, type=pa.int64())})
-
-    parts = combined.map_batches(count, batch_format="pyarrow").to_pandas()
-    return parts.groupby("b")["c"].sum().to_dict() if len(parts) else {}
 
 
 def apply_chunk(
@@ -174,34 +180,60 @@ def apply_chunk(
     *,
     salt_threshold: int = 200_000,
     num_salts: int = 16,
+    hot_buckets: Optional[Dict[int, int]] = None,
     lineage_extra: Optional[Dict] = None,
+    events_schema: Optional[pa.Schema] = None,
 ) -> Dict:
     """Apply one binlog chunk to the lake; returns the NEW manifest
     (already committed). Idempotent: if ``chunk_id`` is in the applied
-    log, this is a no-op returning the current manifest."""
+    log, this is a no-op returning the current manifest.
+
+    Skew handling is HISTOGRAM-DRIVEN, not probed: ``hot_buckets`` is
+    the running per-bucket delta histogram (the engine threads the
+    previous chunk's ``bucket_delta_rows`` lineage through — one-chunk
+    lag, zero extra passes). Buckets above ``salt_threshold`` take the
+    salted pre-reduce path; otherwise the combiner output STREAMS
+    straight into the merge shuffle with no materialize barrier.
+
+    Pass ``events_schema`` when known (e.g. derived from parquet
+    footers): ``Dataset.schema()`` on a lazy pipeline executes part of
+    it just to infer the schema — measurable per-chunk overhead."""
     man = lake.latest_manifest()
     if chunk_id in man["applied_chunks"]:
         return man
     version = man["version"] + 1
     prev_schema = schema_from_json(man["schema"])
-    target = lake_schema_after(prev_schema, events.schema().base_schema)
+    if events_schema is None:
+        events_schema = events.schema().base_schema
+    target = lake_schema_after(prev_schema, events_schema)
     target_json = schema_to_json(target)
 
     hwm = {int(k): v for k, v in man["hwm"].items()}
     applied_through = man["applied_through"]
 
-    # stage 1: combiner (stateless tasks, no shuffle)
+    import time as _time
+
+    t0 = _time.perf_counter()
+    # stage 1: combiner (stateless tasks, no shuffle; fuses with the read)
     combined = events.map_batches(
         lambda b: combiner_batch(b, hwm, applied_through),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    ).materialize()
+    )
+    t_combine = _time.perf_counter() - t0
 
-    # stage 2: salted pre-reduce for hot buckets only
-    counts = bucket_counts(combined)
-    hot = {b: c for b, c in counts.items() if c > salt_threshold}
+    # stage 2: salted pre-reduce ONLY for histogram-flagged hot buckets
+    t0 = _time.perf_counter()
+    hot = {
+        int(b): int(c)
+        for b, c in (hot_buckets or {}).items()
+        if int(c) > salt_threshold
+    }
     if hot:
         hot_list = sorted(hot)
+        # the salting path references `combined` twice (hot + cold split),
+        # so pin it once instead of recomputing the upstream per branch
+        combined = combined.materialize()
 
         def split(batch: pa.Table, want_hot: bool) -> pa.Table:
             mask = np.isin(batch["_bucket"].to_numpy(zero_copy_only=False), hot_list)
@@ -220,8 +252,10 @@ def apply_chunk(
         )
         cold_ds = combined.map_batches(lambda t: split(t, False), batch_format="pyarrow")
         combined = cold_ds.union(hot_reduced)
+    t_salt = _time.perf_counter() - t0
 
     # stage 3: per-bucket final merge + staged writes (the shuffle)
+    t0 = _time.perf_counter()
     merger = _FinalMerge(
         lake.root, {k: v["path"] for k, v in man["files"].items()}, version, target_json
     )
@@ -230,18 +264,29 @@ def apply_chunk(
         return merger(t)
 
     meta = combined.groupby("_bucket").map_groups(final_merge, batch_format="pyarrow").to_pandas()
+    t_merge = _time.perf_counter() - t0
 
     # phase 2: single manifest commit on the driver
     files = dict(man["files"])
     new_hwm = dict(man["hwm"])
+    # only potentially-hot buckets enter the lineage histogram — at
+    # 10^5 buckets a full histogram would bloat every manifest
+    hist_floor = max(1, salt_threshold // 4)
+    histogram = {}
     for _, r in meta.iterrows():
         b = str(int(r["bucket"]))
         files[b] = {"path": r["path"], "rows": int(r["rows"]), "bytes": int(r["bytes"])}
         new_hwm[b] = max(int(new_hwm.get(b, -1)), int(r["max_offset"]))
+        if int(r["delta_rows"]) >= hist_floor:
+            histogram[b] = int(r["delta_rows"])
     lineage = {
         "chunk": chunk_id,
         "buckets_touched": int(len(meta)),
         "hot_buckets_salted": sorted(hot) if hot else [],
+        "bucket_delta_rows": histogram,
+        "combine_sec": round(t_combine, 3),
+        "salt_setup_sec": round(t_salt, 3),
+        "merge_sec": round(t_merge, 3),
         **(lineage_extra or {}),
     }
     new_man = {

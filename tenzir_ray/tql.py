@@ -1,0 +1,159 @@
+"""A TQL-flavored pipeline mini-language over the operator library.
+
+The reference's pipelines are ``op₁ | op₂ | ...`` strings parsed into
+operator chains (``libtenzir/src/tql``, ``pipeline.hpp:416-424``).
+This module gives users the same surface over Ray Data: a pipeline
+string compiles to a ``Dataset -> Dataset`` function composed from
+:mod:`tenzir_ray.ops`.
+
+    from tenzir_ray import tql
+    out = tql.run('where x > 2 | extend y = x * 10 | summarize n=count(.) by g | sort n desc', ds)
+
+Supported operators: where select drop rename put extend replace head
+tail taste unique enumerate sort top rare summarize hash flatten
+unflatten batch repeat measure pass.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, List
+
+from ray.data import Dataset
+
+from tenzir_ray import ops
+
+# split on single '|' (not '||' which is boolean OR inside expressions)
+_PIPE_RE = re.compile(r"(?<!\|)\|(?!\|)")
+_AGG_RE = re.compile(r"^\s*(\w+)\s*=\s*(\w+)\s*\(\s*([\w.]+|\.)?\s*\)\s*$")
+
+
+def _split_commas(text: str) -> List[str]:
+    """Top-level comma split (commas inside [...] or (...) don't split)."""
+    parts, depth, buf = [], 0, []
+    for ch in text:
+        if ch in "[(":
+            depth += 1
+        elif ch in "])":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        parts.append("".join(buf).strip())
+    return [p for p in parts if p]
+
+
+def _kv_pairs(text: str) -> dict:
+    out = {}
+    for part in _split_commas(text):
+        name, expr = part.split("=", 1)
+        out[name.strip()] = expr.strip()
+    return out
+
+
+def _compile_stage(stage: str) -> Callable[[Dataset], Dataset]:
+    stage = stage.strip()
+    if not stage:
+        raise ValueError("empty pipeline stage")
+    op, _, rest = stage.partition(" ")
+    rest = rest.strip()
+
+    if op == "where":
+        return lambda ds: ops.where(ds, rest)
+    if op == "select":
+        cols = _split_commas(rest)
+        return lambda ds: ops.select(ds, cols)
+    if op == "drop":
+        cols = _split_commas(rest)
+        return lambda ds: ops.drop(ds, cols)
+    if op == "rename":
+        mapping = _kv_pairs(rest)
+        return lambda ds: ops.rename(ds, mapping)
+    if op in ("put", "extend", "replace"):
+        fields = _kv_pairs(rest)
+        fn = {"put": ops.put, "extend": ops.extend, "replace": ops.replace}[op]
+        return lambda ds: fn(ds, fields)
+    if op == "head":
+        n = int(rest) if rest else 10
+        return lambda ds: ops.head(ds, n)
+    if op == "tail":
+        n = int(rest) if rest else 10
+        return lambda ds: ops.tail(ds, n)
+    if op == "taste":
+        parts = rest.split()
+        by, n = parts[0], int(parts[1]) if len(parts) > 1 else 10
+        return lambda ds: ops.taste(ds, by, n)
+    if op == "unique":
+        return lambda ds: ops.unique(ds)
+    if op == "enumerate":
+        field = rest or "#"
+        return lambda ds: ops.enumerate_op(ds, field)
+    if op == "sort":
+        parts = rest.split()
+        key = parts[0]
+        desc = len(parts) > 1 and parts[1].lower() in ("desc", "descending")
+        return lambda ds: ops.sort(ds, key, descending=desc)
+    if op in ("top", "rare"):
+        parts = rest.split()
+        field = parts[0]
+        k = int(parts[1]) if len(parts) > 1 else None
+        fn = ops.top if op == "top" else ops.rare
+        return lambda ds: fn(ds, field, k=k)
+    if op == "summarize":
+        # summarize out=f(col), ... by k1, k2
+        if " by " in rest:
+            agg_part, by_part = rest.rsplit(" by ", 1)
+            by = _split_commas(by_part)
+        else:
+            agg_part, by = rest, None
+        aggs = {}
+        for item in _split_commas(agg_part):
+            m = _AGG_RE.match(item)
+            if not m:
+                raise ValueError(f"bad aggregate {item!r} (want name=func(col))")
+            alias, func, col = m.group(1), m.group(2), m.group(3)
+            aggs[alias] = (func, None if col in (None, ".") else col)
+        return lambda ds: ops.summarize(ds, aggs, by=by)
+    if op == "hash":
+        parts = rest.split()
+        field = parts[0]
+        salt = ""
+        if "--salt" in parts:
+            salt = parts[parts.index("--salt") + 1]
+        return lambda ds: ops.hash_op(ds, field, salt=salt)
+    if op == "flatten":
+        sep = rest or "."
+        return lambda ds: ops.flatten(ds, sep)
+    if op == "unflatten":
+        sep = rest or "."
+        return lambda ds: ops.unflatten(ds, sep)
+    if op == "batch":
+        n = int(rest) if rest else 65536
+        return lambda ds: ops.batch_op(ds, n)
+    if op == "repeat":
+        return lambda ds: ops.repeat(ds, int(rest))
+    if op == "measure":
+        return lambda ds: ops.measure(ds)
+    if op == "pass":
+        return lambda ds: ds
+    raise ValueError(f"unknown operator {op!r}")
+
+
+def compile_pipeline(pipeline: str) -> Callable[[Dataset], Dataset]:
+    """Compile ``op | op | ...`` into one Dataset transform (pipelines
+    are operators — ``pipeline.hpp:401-542``)."""
+    stages = [_compile_stage(s) for s in _PIPE_RE.split(pipeline)]
+
+    def apply(ds: Dataset) -> Dataset:
+        for stage in stages:
+            ds = stage(ds)
+        return ds
+
+    return apply
+
+
+def run(pipeline: str, ds: Dataset) -> Dataset:
+    return compile_pipeline(pipeline)(ds)

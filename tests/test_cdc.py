@@ -128,7 +128,9 @@ def test_skew_salting():
         content_median=96, zipf_alpha=3.0,
     )
     root = fresh_lake("hot")
-    replay(bl, root, num_buckets=8, chunk_shards=2, salt_threshold=5, num_salts=4)
+    # chunk 1 builds the bucket histogram; chunk 2 salts the hot buckets
+    # (histogram-driven skew detection has a one-chunk lag by design)
+    replay(bl, root, num_buckets=8, chunk_shards=1, salt_threshold=5, num_salts=4)
     man = Lake(root).latest_manifest()
     assert any(e.get("hot_buckets_salted") for e in man["lineage"])
     res = oracle.compare_states(Lake(root).to_arrow(), oracle.materialize(bl))
