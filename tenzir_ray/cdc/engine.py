@@ -137,6 +137,41 @@ class LangEnrich:
         return batch.set_column(idx, "lang", pa.array(langs, type=pa.string()))
 
 
+class CdcTypedStage:
+    """The fused typed stage: parse → enrich → combine in ONE actor-pool
+    ``map_batches`` pass.
+
+    One stage instead of three means the chunk's bytes cross the object
+    store twice total (read → stage, stage → shuffle) instead of four
+    times — on a memory-bandwidth-bound pipeline that is the difference
+    between the actor stage being the bottleneck and being free.
+    Stateful pieces (the enrichment rule table, the HWM vector) load
+    once per actor in ``__init__``; per-batch work is the vectorized
+    parse/enrich/combine kernels."""
+
+    def __init__(
+        self,
+        num_buckets: int,
+        hwm: Optional[Dict[int, int]] = None,
+        applied_through: int = -1,
+        rules: Optional[Dict[str, str]] = None,
+        enrich: bool = True,
+    ):
+        from tenzir_ray.cdc.merge import combiner_batch
+
+        self.num_buckets = num_buckets
+        self.hwm = {int(k): v for k, v in (hwm or {}).items()}
+        self.applied_through = applied_through
+        self.enricher = LangEnrich(rules) if enrich else None
+        self._combine = combiner_batch
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = parse_events(batch, self.num_buckets)
+        if self.enricher is not None:
+            batch = self.enricher(batch)
+        return self._combine(batch, self.hwm, self.applied_through)
+
+
 def build_chunk_pipeline(
     shard_paths: List[str],
     num_buckets: int,
@@ -144,35 +179,37 @@ def build_chunk_pipeline(
     enrich: bool = True,
     enrich_concurrency: Optional[int] = None,
     batch_size: int = 16384,
+    hwm: Optional[Dict[int, int]] = None,
+    applied_through: int = -1,
 ) -> Dataset:
-    """tail(read) → parse → enrich for one chunk of binlog shards.
+    """tail(read) → fused typed stage (parse/enrich/combine) for one
+    chunk of binlog shards. Output is pre-combined: per batch, only the
+    max-``commit_seq`` event per key survives, ready for the merge
+    shuffle.
 
-    The enrich actor pool is sized to a FRACTION of the cluster
-    (``num_cpus=0.5`` per actor, pool ≈ CPU/4) so it never starves the
-    read/parse/merge stages — an actor pool that reserves every CPU
-    deadlocks the streaming executor."""
+    Pool sizing: ``num_cpus=1`` per actor, pool ≈ half the cluster —
+    the reads and the shuffle need the other half; a pool that reserves
+    every CPU starves them and the pipeline serializes."""
     import ray as _ray
 
+    if enrich_concurrency is None:
+        total_cpus = int(_ray.cluster_resources().get("CPU", 4))
+        enrich_concurrency = max(2, total_cpus // 2)
     ds = ray.data.read_parquet(shard_paths)
-    ds = ds.map_batches(
-        lambda b: parse_events(b, num_buckets),
+    return ds.map_batches(
+        CdcTypedStage,
+        fn_constructor_kwargs={
+            "num_buckets": num_buckets,
+            "hwm": hwm,
+            "applied_through": applied_through,
+            "enrich": enrich,
+        },
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
+        concurrency=enrich_concurrency,
+        num_cpus=0.5,
     )
-    if enrich:
-        if enrich_concurrency is None:
-            total_cpus = int(_ray.cluster_resources().get("CPU", 4))
-            enrich_concurrency = max(1, total_cpus // 4)
-        ds = ds.map_batches(
-            LangEnrich,
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            batch_size=batch_size,
-            concurrency=enrich_concurrency,
-            num_cpus=0.5,
-        )
-    return ds
 
 
 def _chunk_schema(shard_paths: List[str]) -> pa.Schema:
@@ -235,15 +272,20 @@ def replay(
         n_events = sum(s["rows"] for s in group)
         events_schema = _chunk_schema(shard_paths)
 
+        cur = lake.latest_manifest()
         t0 = time.perf_counter()
         events = build_chunk_pipeline(
-            shard_paths, num_buckets, enrich=enrich, enrich_concurrency=enrich_concurrency
+            shard_paths,
+            num_buckets,
+            enrich=enrich,
+            enrich_concurrency=enrich_concurrency,
+            hwm={int(k): v for k, v in cur["hwm"].items()},
+            applied_through=cur["applied_through"],
         )
         if crash_before_commit_of_chunk == chunk_no:
             # stage everything, then die before the commit point
             _stage_without_commit(lake, events, chunk_id, salt_threshold, num_salts)
             raise RuntimeError(f"injected crash before manifest commit of {chunk_id}")
-        wall0 = time.perf_counter() - t0
         man = apply_chunk(
             lake,
             events,
@@ -254,6 +296,7 @@ def replay(
             hot_buckets=histogram,
             lineage_extra={"events": n_events},
             events_schema=events_schema,
+            pre_combined=True,
         )
         for b, c in man["lineage"][-1].get("bucket_delta_rows", {}).items():
             histogram[int(b)] = max(histogram.get(int(b), 0), int(c))
@@ -283,7 +326,62 @@ def _stage_without_commit(lake: Lake, events: Dataset, chunk_id: str, salt_thres
             chunk_max_offset=-1,
             salt_threshold=salt_threshold,
             num_salts=num_salts,
+            pre_combined=True,
         )
+
+
+def erase(lake_root: str, predicate: str) -> Dict:
+    """Retention/eviction by query (the `eraser` analog,
+    ``src/eraser.cpp:33-60``): rewrite every bucket dropping rows that
+    MATCH the predicate, commit a new manifest version. Buckets whose
+    file contains no matches keep their current file untouched."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.expr import compile_predicate
+
+    lake = Lake(lake_root)
+    man = lake.latest_manifest()
+    version = man["version"] + 1
+    mask_fn = compile_predicate(predicate)
+    files = dict(man["files"])
+
+    @ray.remote
+    def rewrite(bucket: str, rel: str):
+        path = os.path.join(lake_root, rel)
+        t = pq.read_table(path)
+        drop = pc.fill_null(mask_fn(t), False)
+        if not pc.any(drop).as_py():
+            return bucket, None, t.num_rows  # untouched
+        kept = t.filter(pc.invert(drop))
+        new_rel = f"data/b{int(bucket):05d}-v{version:06d}.parquet"
+        new_path = os.path.join(lake_root, new_rel)
+        tmp = new_path + f".tmp-{os.getpid()}"
+        pq.write_table(kept, tmp, compression="zstd", row_group_size=65_536)
+        os.replace(tmp, new_path)
+        return bucket, new_rel, kept.num_rows
+
+    results = ray.get([rewrite.remote(b, f["path"]) for b, f in files.items()])
+    erased = 0
+    for bucket, new_rel, rows in results:
+        if new_rel is not None:
+            erased += files[bucket]["rows"] - rows
+            files[bucket] = {
+                "path": new_rel,
+                "rows": rows,
+                "bytes": os.path.getsize(os.path.join(lake_root, new_rel)),
+            }
+    man = dict(man)
+    man.update(
+        {
+            "version": version,
+            "files": files,
+            "lineage": man["lineage"] + [{"erase": predicate, "rows_erased": int(erased)}],
+        }
+    )
+    lake.commit(man)
+    return man
 
 
 def rebucket(lake_root: str, new_root: str, new_num_buckets: int) -> Dict:

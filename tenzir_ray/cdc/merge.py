@@ -183,6 +183,7 @@ def apply_chunk(
     hot_buckets: Optional[Dict[int, int]] = None,
     lineage_extra: Optional[Dict] = None,
     events_schema: Optional[pa.Schema] = None,
+    pre_combined: bool = False,
 ) -> Dict:
     """Apply one binlog chunk to the lake; returns the NEW manifest
     (already committed). Idempotent: if ``chunk_id`` is in the applied
@@ -214,12 +215,16 @@ def apply_chunk(
     import time as _time
 
     t0 = _time.perf_counter()
-    # stage 1: combiner (stateless tasks, no shuffle; fuses with the read)
-    combined = events.map_batches(
-        lambda b: combiner_batch(b, hwm, applied_through),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+    # stage 1: combiner — skipped when the engine's fused typed stage
+    # (CdcTypedStage) already combined per batch
+    if pre_combined:
+        combined = events
+    else:
+        combined = events.map_batches(
+            lambda b: combiner_batch(b, hwm, applied_through),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     t_combine = _time.perf_counter() - t0
 
     # stage 2: salted pre-reduce ONLY for histogram-flagged hot buckets

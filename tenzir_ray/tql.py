@@ -139,6 +139,13 @@ def _compile_stage(stage: str) -> Callable[[Dataset], Dataset]:
         return lambda ds: ops.measure(ds)
     if op == "pass":
         return lambda ds: ds
+    # user-registered operators (registry.register_operator) get the raw
+    # argument string — the operator_parser_plugin analog
+    from tenzir_ray import registry
+
+    if op in registry.OPERATORS:
+        fn = registry.OPERATORS[op]
+        return lambda ds: fn(ds, rest)
     raise ValueError(f"unknown operator {op!r}")
 
 
