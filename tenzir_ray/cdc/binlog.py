@@ -64,6 +64,7 @@ def generate_binlog(
     zipf_alpha: float = 1.2,
     evolution_offset: Optional[int] = None,
     missing_lang_fraction: float = 0.05,
+    codec: str = "zstd",
 ) -> Dict:
     """Generate the binlog; returns (and writes) the shard metadata.
 
@@ -157,7 +158,7 @@ def generate_binlog(
         pq.write_table(
             pq_sanitize(write_table),
             os.path.join(out_dir, fname),
-            compression="zstd",
+            compression=codec,  # kafka-analog logs commonly use snappy/lz4
             row_group_size=65_536,
         )
         shards.append(
@@ -180,6 +181,7 @@ def generate_binlog(
         "zipf_alpha": zipf_alpha,
         "evolution_offset": evolution_offset,
         "missing_lang_fraction": missing_lang_fraction,
+        "codec": codec,
         "shards": shards,
     }
     tmp = os.path.join(out_dir, META_NAME + ".tmp")

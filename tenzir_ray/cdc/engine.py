@@ -74,27 +74,26 @@ def _str_slices(col: pa.ChunkedArray):
 
 
 def parse_events(batch: pa.Table, num_buckets: int) -> pa.Table:
-    """Typed parse: validate op, stamp content_sha256, _bucket and the
-    64-bit key hash ``_key``.
+    """Typed parse: validate op, stamp ``_bucket`` and the 64-bit key
+    hash ``_key`` (hashlib/zlib C cores digesting straight off the
+    Arrow buffers — no Python strings materialize).
 
-    sha256 has no vectorized Arrow kernel; hashlib's C core digests
-    straight from the Arrow buffers (it IS the parity invariant,
-    BASELINE.json). The key hash is a composite of two crc32s
-    (crc(repo||0) chained into path) → 64 bits; the within-batch
-    combiner dedups on it (collision odds ~2^-64 per pair; the
-    per-bucket FINAL merge compares real strings, so a collision could
-    only affect intra-chunk combining, never the lake state
-    erroneously keyed)."""
+    The key hash is a composite of two chained crc32s
+    (crc(repo||0) high word, crc(repo||0||path) low word); the
+    within-batch combiner dedups on it (collision odds ~2^-64 per
+    pair; the per-bucket FINAL merge compares real strings, so a
+    collision could only affect intra-chunk combining, never the lake
+    key space).
+
+    ``content_sha256`` (the parity invariant) is NOT computed here:
+    only merge WINNERS need it, and winners per chunk are ~50x fewer
+    than events — the final merge stamps it (``_FinalMerge``)."""
     op_ok = pc.is_in(batch["op"], value_set=pa.array(_VALID_OPS))
     if not pc.all(op_ok).as_py():
         batch = batch.filter(op_ok)
 
     n = batch.num_rows
-    _sha256, _crc = hashlib.sha256, zlib.crc32
-    sha = [
-        None if mv is None else _sha256(mv).hexdigest()
-        for mv in _str_slices(batch["content"])
-    ]
+    _crc = zlib.crc32
     keys = np.empty(n, dtype=np.uint64)
     i = 0
     for r_mv, p_mv in zip(_str_slices(batch["repo"]), _str_slices(batch["path"])):
@@ -102,9 +101,66 @@ def parse_events(batch: pa.Table, num_buckets: int) -> pa.Table:
         keys[i] = (hi << 32) | _crc(p_mv, hi)
         i += 1
     buckets = (keys % np.uint64(num_buckets)).astype(np.int64)
-    batch = batch.append_column("content_sha256", pa.array(sha, type=pa.string()))
     batch = batch.append_column("_bucket", pa.array(buckets, type=pa.int64()))
     return batch.append_column("_key", pa.array(keys, type=pa.uint64()))
+
+
+_SHUFFLE_CODEC = "zstd"
+
+
+def compress_content(batch: pa.Table, col: str = "content") -> pa.Table:
+    """Shrink the wide ``content`` column before the merge shuffle:
+    per-value zstd into a binary column + a raw-length column (zstd
+    frames don't self-describe size for ``pa.Codec``). The final merge
+    decompresses WINNERS only (~50x fewer rows than events), so this
+    trades a little map-side CPU for most of the shuffle bytes."""
+    codec = pa.Codec(_SHUFFLE_CODEC)
+    lens, comp = [], []
+    for mv in _str_slices(batch[col]):
+        if mv is None:
+            lens.append(None)
+            comp.append(None)
+        else:
+            lens.append(len(mv))
+            comp.append(codec.compress(mv, asbytes=True))
+    i = batch.column_names.index(col)
+    batch = batch.set_column(i, col, pa.array(comp, type=pa.binary()))
+    return batch.append_column("_content_raw_len", pa.array(lens, type=pa.int64()))
+
+
+def decompress_content(table: pa.Table, col: str = "content") -> pa.Table:
+    """Inverse of :func:`compress_content` (no-op if not compressed)."""
+    if "_content_raw_len" not in table.column_names or not pa.types.is_binary(
+        table[col].type if not isinstance(table[col], pa.ChunkedArray) else table[col].type
+    ):
+        return table
+    codec = pa.Codec(_SHUFFLE_CODEC)
+    lens = table["_content_raw_len"].to_pylist()
+    out = [
+        None if v is None else codec.decompress(v, decompressed_size=n, asbytes=True).decode()
+        for v, n in zip(table[col].to_pylist(), lens)
+    ]
+    i = table.column_names.index(col)
+    table = table.set_column(i, col, pa.array(out, type=pa.string()))
+    return table.drop_columns(["_content_raw_len"])
+
+
+def sha256_column(table: pa.Table, content_col: str = "content", out_col: str = "content_sha256") -> pa.Table:
+    """Stamp/refresh ``out_col`` = hex sha256 of ``content_col`` (null
+    content -> null), digesting from Arrow buffers. Existing non-null
+    digests are preserved (lake base rows already carry theirs)."""
+    _sha256 = hashlib.sha256
+    have = (
+        table[out_col].to_pylist() if out_col in table.column_names else [None] * table.num_rows
+    )
+    out = [
+        h if h is not None else (None if mv is None else _sha256(mv).hexdigest())
+        for h, mv in zip(have, _str_slices(table[content_col]))
+    ]
+    arr = pa.array(out, type=pa.string())
+    if out_col in table.column_names:
+        return table.set_column(table.column_names.index(out_col), out_col, arr)
+    return table.append_column(out_col, arr)
 
 
 class LangEnrich:
@@ -156,6 +212,7 @@ class CdcTypedStage:
         applied_through: int = -1,
         rules: Optional[Dict[str, str]] = None,
         enrich: bool = True,
+        compress_shuffle: bool = True,
     ):
         from tenzir_ray.cdc.merge import combiner_batch
 
@@ -163,13 +220,17 @@ class CdcTypedStage:
         self.hwm = {int(k): v for k, v in (hwm or {}).items()}
         self.applied_through = applied_through
         self.enricher = LangEnrich(rules) if enrich else None
+        self.compress_shuffle = compress_shuffle
         self._combine = combiner_batch
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = parse_events(batch, self.num_buckets)
         if self.enricher is not None:
             batch = self.enricher(batch)
-        return self._combine(batch, self.hwm, self.applied_through)
+        batch = self._combine(batch, self.hwm, self.applied_through)
+        if self.compress_shuffle:
+            batch = compress_content(batch)
+        return batch
 
 
 def build_chunk_pipeline(
@@ -220,11 +281,7 @@ def _chunk_schema(shard_paths: List[str]) -> pa.Schema:
 
     from tenzir_ray.schema import unify_schemas
 
-    base = unify_schemas([pq.read_schema(p) for p in shard_paths])
-    fields = list(base)
-    fields.append(pa.field("content_sha256", pa.string()))
-    fields.append(pa.field("_bucket", pa.int64()))
-    return pa.schema(fields)
+    return unify_schemas([pq.read_schema(p) for p in shard_paths])
 
 
 def replay(

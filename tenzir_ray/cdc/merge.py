@@ -52,14 +52,23 @@ from tenzir_ray.cdc.lake import Lake
 from tenzir_ray.schema import conform, schema_from_json, schema_to_json, unify_schemas
 
 # event-stream bookkeeping columns that do NOT become lake columns
-_EVENT_ONLY = ("offset", "op", "_bucket", "_salt", "_key")
+_EVENT_ONLY = ("offset", "op", "_bucket", "_salt", "_key", "_content_raw_len")
 
 
 def lake_schema_after(prev: pa.Schema, events: pa.Schema) -> pa.Schema:
     """Additive evolution: previous lake schema + any new event columns
-    (e.g. F4's ``branch``/``size_bytes``), minus stream bookkeeping."""
-    ev_fields = pa.schema([f for f in events if f.name not in _EVENT_ONLY])
-    return unify_schemas([prev, ev_fields])
+    (e.g. F4's ``branch``/``size_bytes``), minus stream bookkeeping.
+    A shuffle-compressed in-flight schema (binary ``content`` +
+    ``_content_raw_len``) maps back to the logical string type."""
+    compressed = any(f.name == "_content_raw_len" for f in events)
+    fields = []
+    for f in events:
+        if f.name in _EVENT_ONLY:
+            continue
+        if compressed and f.name == "content":
+            f = pa.field("content", pa.string())
+        fields.append(f)
+    return unify_schemas([prev, pa.schema(fields)])
 
 
 def _lww_winner_positions(t: pa.Table) -> np.ndarray:
@@ -138,6 +147,13 @@ class _FinalMerge:
         max_offset = int(pc.max(delta["offset"]).as_py())
         delta_rows = delta.num_rows  # feeds the running skew histogram
 
+        # delta-only LWW first, so shuffle-compressed content is only
+        # decompressed for the bucket's winners
+        delta = lww_reduce(delta)
+        from tenzir_ray.cdc.engine import decompress_content
+
+        delta = decompress_content(delta)
+
         base_rel = self.bucket_files.get(str(bucket))
         if base_rel is not None:
             base = pq.read_table(os.path.join(self.lake_root, base_rel))
@@ -153,6 +169,11 @@ class _FinalMerge:
         merged = lww_reduce(merged)
         merged = merged.filter(pc.not_equal(merged["op"], "delete"))
         out = conform(merged, target)
+        # the parity invariant is stamped HERE, on merge winners only —
+        # ~50x fewer rows than raw events (base rows keep their digest)
+        from tenzir_ray.cdc.engine import sha256_column
+
+        out = sha256_column(out)
 
         rel = f"data/b{bucket:05d}-v{self.version:06d}.parquet"
         final_path = os.path.join(self.lake_root, rel)

@@ -70,6 +70,13 @@ def main(argv=None) -> int:
     s = sub.add_parser("show", help="introspection: manifest summary (show-operator analog)")
     s.add_argument("--lake", required=True)
 
+    e = sub.add_parser("erase", help="retention: delete rows matching a predicate (eraser analog)")
+    e.add_argument("--lake", required=True)
+    e.add_argument("--where", required=True, help='predicate, e.g. \'repo == "repo-0001"\'')
+
+    vac = sub.add_parser("vacuum", help="delete data files not in the latest manifest")
+    vac.add_argument("--lake", required=True)
+
     args = p.parse_args(argv)
 
     if args.cmd == "generate":
@@ -134,6 +141,24 @@ def main(argv=None) -> int:
         man = rebucket(args.lake, args.out, args.buckets)
         print(json.dumps({"version": man["version"], "buckets": len(man["files"])}))
         ray.shutdown()
+        return 0
+
+    if args.cmd == "erase":
+        _init_ray()
+        import ray
+
+        from tenzir_ray.cdc.engine import erase as _erase
+
+        man = _erase(args.lake, args.where)
+        print(json.dumps(man["lineage"][-1]))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "vacuum":
+        from tenzir_ray.cdc.lake import Lake
+
+        removed = Lake(args.lake).vacuum()
+        print(json.dumps({"removed": len(removed)}))
         return 0
 
     if args.cmd == "show":

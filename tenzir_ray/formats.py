@@ -188,6 +188,20 @@ def parse_yaml(ds: Dataset, text_col: str = "text") -> Dataset:
     return ds.map_batches(apply, **_PYARROW)
 
 
+def decapsulate(ds: Dataset, data_col: str = "data") -> Dataset:
+    """PCAP packet decapsulation STUB (reference:
+    ``builtins/operators/decapsulate.cpp:303-440`` parses
+    ethernet/vlan/ip/tcp/udp + community_id). No packet library
+    (dpkt/scapy) exists in this container; the operator contract —
+    binary packet column in, typed header columns out via a
+    ``map_batches`` kernel — is fixed here for a drop-in kernel."""
+    raise NotImplementedError(
+        "decapsulate needs a packet-parsing library (dpkt/scapy), not present "
+        "in this container; plumb a parser through map_batches like "
+        "tenzir_ray.multimodal.ImageDecode"
+    )
+
+
 _KV_RE = re.compile(r'(\w+)=(?:"([^"]*)"|(\S+))')
 
 
