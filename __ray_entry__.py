@@ -366,6 +366,91 @@ def _q_ann_ivf(sf_dir):
     return out
 
 
+def _q_where_matches(sf_dir):
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ops.select(ops.where(ds, 'text matches "spark"'), ["doc_id"])
+
+
+def _q_tql_revenue(sf_dir):
+    from tenzir_ray import tql
+
+    ds = read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_extendedprice", "l_discount"],
+    )
+    out = tql.run(
+        "extend rev = l_extendedprice * (1 - l_discount) "
+        "| summarize n=count(.), revenue=sum(rev) by l_returnflag "
+        "| sort l_returnflag",
+        ds,
+    )
+    return _round_cols(out, ["revenue"], 2)
+
+
+_SIGMA_RULE = """
+title: big purchase
+detection:
+  selection:
+    event_type: purchase
+    value|gt: 100
+  condition: selection
+"""
+
+
+def _q_sigma_matches(sf_dir):
+    from tenzir_ray import sigma
+
+    rule_path = "/tmp/tzr_q_sigma_rule.yml"
+    with open(rule_path, "w") as f:
+        f.write(_SIGMA_RULE)
+    ds = read_parquet(_t(sf_dir, "events"), columns=["event_id", "event_type", "value"])
+    out = sigma.sigma(ds, rule_path, concurrency=1)
+    return _round_cols(ops.select(out, ["event_id", "rule_title", "value"]), ["value"], 2)
+
+
+def _q_compress_roundtrip(sf_dir):
+    from tenzir_ray.ops.bytes import compress_op, decompress_op
+
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    back = decompress_op(compress_op(ds, "text", codec="zstd"), "text", codec="zstd")
+
+    def decode(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("text")
+        return t.set_column(i, "text", t["text"].cast(pa.string()))
+
+    return back.map_batches(decode, **_PYARROW)
+
+
+def _q_cef_roundtrip(sf_dir):
+    from tenzir_ray import formats
+
+    ds = read_parquet(_t(sf_dir, "events"), columns=["event_id", "event_type", "user_id"])
+
+    def to_cef(t: pa.Table) -> pa.Table:
+        lines = [
+            f"CEF:0|tzr|engine|1.0|{e}|{et}|5|uid={u}"
+            for e, et, u in zip(
+                t["event_id"].to_pylist(), t["event_type"].to_pylist(), t["user_id"].to_pylist()
+            )
+        ]
+        return pa.table({"text": pa.array(lines)})
+
+    parsed = formats.parse_cef(ds.map_batches(to_cef, **_PYARROW))
+    return ops.select(parsed, ["signature_id", "name", "severity"])
+
+
+def _q_pseudonymize(sf_dir):
+    from tenzir_ray.ops.anonymize import pseudonymize
+
+    ds = read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id"])
+
+    def add_ip(t: pa.Table) -> pa.Table:
+        ips = [f"10.0.{u // 256}.{u % 256}" for u in t["user_id"].to_pylist()]
+        return t.append_column("ip", pa.array(ips))
+
+    return pseudonymize(ds.map_batches(add_ip, **_PYARROW), ["ip"], seed="bench", concurrency=1)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -404,6 +489,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_brute_top10": _q_ann_brute,
         "ann_ivf_top10": _q_ann_ivf,
         "cdc_replay": _cdc_replay_query,
+        "where_matches": _q_where_matches,
+        "tql_revenue_by_flag": _q_tql_revenue,
+        "sigma_matches": _q_sigma_matches,
+        "compress_roundtrip_docs": _q_compress_roundtrip,
+        "cef_roundtrip": _q_cef_roundtrip,
+        "pseudonymize_ips": _q_pseudonymize,
     }
 
 
@@ -550,9 +641,30 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, q
             ORDER BY rank LIMIT 10
         """,
+        "where_matches": """
+            SELECT doc_id FROM documents WHERE regexp_matches(text, 'spark')
+        """,
+        "tql_revenue_by_flag": f"""
+            SELECT l_returnflag, count(*) AS n,
+                   {_sqlr('sum(l_extendedprice * (1 - l_discount))')} AS revenue
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "sigma_matches": f"""
+            SELECT event_id, 'big purchase' AS rule_title, {_sqlr('value')} AS value
+            FROM events WHERE event_type = 'purchase' AND value > 100
+        """,
+        "compress_roundtrip_docs": """
+            SELECT doc_id, text FROM documents
+        """,
+        "cef_roundtrip": """
+            SELECT CAST(event_id AS VARCHAR) AS signature_id,
+                   event_type AS name, '5' AS severity
+            FROM events
+        """,
         # lang_id_docs / dedup_minhash_docs / dedup_simhash_docs /
-        # dedup_embedding_vecs / ann_ivf_top10 / cdc_replay are not
-        # SQL-expressible (stateful / approximate / multi-stage); the
-        # driver records rows-only checks, and tests/test_cdc.py holds
-        # the strong CDC parity gate.
+        # dedup_embedding_vecs / ann_ivf_top10 / cdc_replay /
+        # pseudonymize_ips are not SQL-expressible (stateful /
+        # approximate / multi-stage / keyed-PRF); the driver records
+        # rows-only checks, and tests/test_cdc.py holds the strong CDC
+        # parity gate.
     }

@@ -92,7 +92,7 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<num>-?\d+\.\d+(?:[eE][+-]?\d+)?|-?\d+)
       | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
-      | (?P<op>==|!=|<=|>=|&&|\|\||not\s+in\b|in\b|[()<>!+\-*/%,\[\]])
+      | (?P<op>==|!=|<=|>=|&&|\|\||not\s+in\b|in\b|matches\b|[()<>!+\-*/%,\[\]])
       | (?P<kw>true\b|false\b|null\b)
       | (?P<ident>[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)
     )""",
@@ -169,7 +169,7 @@ class _Parser:
     def cmp(self):
         lhs = self.sum_()
         k, v = self.peek()
-        if k == "op" and v in ("==", "!=", "<", "<=", ">", ">=", "in", "not_in"):
+        if k == "op" and v in ("==", "!=", "<", "<=", ">", ">=", "in", "not_in", "matches"):
             self.eat()
             return Cmp(v, lhs, self.sum_())
         return lhs
@@ -274,6 +274,10 @@ def _eval(node: Node, table: pa.Table):
                     rhs = casted
                 else:
                     lhs = casted
+        if node.op == "matches":
+            # regex pattern predicate (reference: `pattern` literals as
+            # data, operator.hpp; RE2 via Arrow match_substring_regex)
+            return pc.match_substring_regex(lhs, rhs)
         if node.op == "in":
             return pc.is_in(lhs, value_set=pa.array(rhs))
         if node.op == "not_in":
@@ -313,10 +317,31 @@ def _as_mask(value, num_rows: int):
     return pa.array([bool(value)] * num_rows)
 
 
+def _validate(node: Node) -> None:
+    """Driver-side sanity checks so malformed expressions fail at
+    compile time, not inside remote workers."""
+    if isinstance(node, Cmp):
+        if node.op == "matches":
+            if not isinstance(node.rhs, Literal) or not isinstance(node.rhs.value, str):
+                raise ValueError("matches requires a string literal pattern")
+            re.compile(node.rhs.value)  # syntax check (Python re ≈ RE2 for our subset)
+        _validate(node.lhs)
+        _validate(node.rhs)
+    elif isinstance(node, (And, Or)):
+        for p in node.parts:
+            _validate(p)
+    elif isinstance(node, Not):
+        _validate(node.inner)
+    elif isinstance(node, Arith):
+        _validate(node.lhs)
+        _validate(node.rhs)
+
+
 def compile_predicate(expr: Union[str, Node]) -> Callable[[pa.Table], pa.ChunkedArray]:
     """Compile a predicate to ``table -> boolean mask`` (nulls → excluded
     downstream, matching the reference's bitmap-filter semantics)."""
     node = parse(expr) if isinstance(expr, str) else expr
+    _validate(node)
 
     def mask(table: pa.Table):
         return _as_mask(_eval(node, table), table.num_rows)
@@ -353,7 +378,7 @@ def to_dataset_filter(expr: Union[str, Node]) -> Optional[pads.Expression]:
     node = parse(expr) if isinstance(expr, str) else expr
     try:
         return _to_ds(node)
-    except (ValueError, TypeError):
+    except (ValueError, TypeError, KeyError):
         return None
 
 

@@ -188,6 +188,56 @@ def parse_yaml(ds: Dataset, text_col: str = "text") -> Dataset:
     return ds.map_batches(apply, **_PYARROW)
 
 
+def parse_ndjson(
+    ds: Dataset,
+    text_col: str = "text",
+    selector: Optional[str] = None,
+    selector_prefix: Optional[str] = None,
+) -> Dataset:
+    """NDJSON parser with the reference's ``--selector field[:prefix]``
+    routing (``builtins/formats/json.cpp:96-110``): the selector
+    field's value names the event's schema — emitted here as a
+    ``_schema`` column (``prefix.value``), the single-Dataset analog of
+    the reference's multi-schema stream. The `suricata` and
+    `zeek-json` formats are exactly this parser configured with
+    ``selector="event_type"`` / ``selector="_path:zeek"``
+    (``json.cpp:1119-1120``)."""
+    import json as _json
+
+    def apply(t: pa.Table) -> pa.Table:
+        recs = []
+        for line in t[text_col].to_pylist():
+            if not line:
+                continue
+            try:
+                r = _json.loads(line)
+            except ValueError:
+                continue
+            if isinstance(r, dict):
+                recs.append(r)
+        if selector:
+            for r in recs:
+                val = r.get(selector)
+                r["_schema"] = f"{selector_prefix}.{val}" if selector_prefix else str(val)
+        if not recs:
+            return pa.table({})
+        return pa.Table.from_pylist(recs)
+
+    return ds.map_batches(apply, **_PYARROW)
+
+
+def parse_suricata(ds: Dataset, text_col: str = "text") -> Dataset:
+    """Suricata EVE JSON (configured variant of the json parser,
+    ``builtins/formats/json.cpp:1119``)."""
+    return parse_ndjson(ds, text_col, selector="event_type", selector_prefix="suricata")
+
+
+def parse_zeek_json(ds: Dataset, text_col: str = "text") -> Dataset:
+    """Zeek streaming JSON (configured variant,
+    ``builtins/formats/json.cpp:1120``)."""
+    return parse_ndjson(ds, text_col, selector="_path", selector_prefix="zeek")
+
+
 def decapsulate(ds: Dataset, data_col: str = "data") -> Dataset:
     """PCAP packet decapsulation STUB (reference:
     ``builtins/operators/decapsulate.cpp:303-440`` parses

@@ -66,3 +66,9 @@ def test_pushdown_roundtrip():
     assert isinstance(f, pads.Expression)
     # struct paths are not pushdown-expressible
     assert to_dataset_filter("a.b == 1") is None
+
+
+def test_matches_regex():
+    assert mask('s matches "a|b"') == [True, True, False, True, None]
+    # regex is not pushdown-expressible -> None, not an exception
+    assert to_dataset_filter('s matches "a"') is None

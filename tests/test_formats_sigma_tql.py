@@ -155,3 +155,15 @@ def test_compress_roundtrip():
     back = decompress_op(comp, "payload", codec="zstd").to_pandas().sort_values("doc_id")
     vals = [None if v is None else v.decode() for v in back["payload"]]
     assert vals == texts
+
+
+def test_parse_ndjson_selector():
+    lines = [
+        '{"event_type": "alert", "src": "10.0.0.1"}',
+        '{"event_type": "dns", "q": "example.com"}',
+        "not json",
+    ]
+    out = formats.parse_suricata(lines_ds(lines)).to_pandas()
+    assert sorted(out["_schema"]) == ["suricata.alert", "suricata.dns"]
+    out = formats.parse_ndjson(lines_ds(lines)).to_pandas()
+    assert len(out) == 2 and "_schema" not in out.columns
