@@ -110,7 +110,7 @@ _SHUFFLE_CODEC = "zstd"
 
 def compress_content(batch: pa.Table, col: str = "content") -> pa.Table:
     """Shrink the wide ``content`` column before the merge shuffle:
-    per-value zstd into a binary column + a raw-length column (zstd
+    per-value compression into a binary column + a raw-length column (the
     frames don't self-describe size for ``pa.Codec``). The final merge
     decompresses WINNERS only (~50x fewer rows than events), so this
     trades a little map-side CPU for most of the shuffle bytes."""
