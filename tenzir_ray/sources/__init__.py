@@ -67,6 +67,56 @@ def read_binary(paths, include_paths: bool = True, **kwargs) -> Dataset:
     return ray.data.read_binary_files(paths, include_paths=include_paths, **kwargs)
 
 
+def read_feather(paths: Union[str, Sequence[str]]) -> Dataset:
+    """Arrow IPC / feather source (reference store:
+    ``builtins/stores/feather.cpp:139-281``). Ray has no native feather
+    reader; files load via pyarrow inside read tasks and stream as
+    regular blocks."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.feather  # noqa: F401
+
+    if isinstance(paths, str):
+        if _os.path.isdir(paths):
+            files = sorted(_glob.glob(_os.path.join(paths, "*")))
+        else:
+            files = [paths]
+    else:
+        files = list(paths)
+
+    import ray as _ray
+
+    @_ray.remote
+    def _load(path: str):
+        import pyarrow.feather as pf
+
+        return pf.read_table(path)
+
+    return ray.data.from_arrow_refs([_load.remote(f) for f in files])
+
+
+def write_feather(ds: Dataset, path: str) -> None:
+    """Arrow IPC / feather sink: one file per block, written inside the
+    tasks (streaming; nothing gathers on the driver)."""
+    import os as _os
+
+    _os.makedirs(path, exist_ok=True)
+
+    def write_block(t, ctx=None):
+        import uuid
+
+        import pyarrow.feather as pf
+
+        fname = _os.path.join(path, f"part-{uuid.uuid4().hex}.feather")
+        pf.write_feather(t, fname)
+        import pyarrow as _pa
+
+        return _pa.table({"path": _pa.array([fname])})
+
+    ds.map_batches(write_block, batch_format="pyarrow", batch_size=None).materialize()
+
+
 def write_parquet(ds: Dataset, path: str, **kwargs) -> None:
     """Parquet sink, zstd like the reference store
     (``plugins/parquet/parquet.cpp:318-378``: ZSTD, 64Ki row groups)."""

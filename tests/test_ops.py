@@ -173,3 +173,13 @@ def test_summarize_resolution():
     )
     r = sorted(rows(out), key=lambda x: x["ts"])
     assert len(r) == 2 and r[0]["sum_v"] == 3 and r[1]["sum_v"] == 3
+
+
+def test_feather_roundtrip(tmp_path):
+    from tenzir_ray.sources import read_feather, write_feather
+
+    ds = make_ds()
+    out_dir = str(tmp_path / "feather_out")
+    write_feather(ds, out_dir)
+    back = read_feather(out_dir)
+    assert sorted(r["x"] for r in rows(back)) == [1, 2, 3, 4, 5]
