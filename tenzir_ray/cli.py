@@ -40,6 +40,16 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="tenzir_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
 
+    x = sub.add_parser(
+        "exec",
+        help="run a TQL pipeline over input files (the `tenzir 'pipeline'` analog)",
+    )
+    x.add_argument("pipeline", help="e.g. 'where x > 1 | summarize n=count(.) by g | sort g'")
+    x.add_argument("--input", required=True, help="parquet/csv/json/text path or glob")
+    x.add_argument("--format", default="parquet", choices=["parquet", "csv", "json", "lines"])
+    x.add_argument("--output", default="-", help="output dir (parquet) or '-' for stdout NDJSON")
+    x.add_argument("--limit", type=int, default=None, help="stdout row cap (default 100)")
+
     g = sub.add_parser("generate", help="generate a deterministic synthetic binlog")
     g.add_argument("--binlog", required=True)
     g.add_argument("--events", type=int, default=100_000)
@@ -78,6 +88,36 @@ def main(argv=None) -> int:
     vac.add_argument("--lake", required=True)
 
     args = p.parse_args(argv)
+
+    if args.cmd == "exec":
+        _init_ray()
+        import ray
+
+        from tenzir_ray import sources, tql
+
+        readers = {
+            "parquet": sources.read_parquet,
+            "csv": sources.read_csv,
+            "json": sources.read_json,
+            "lines": sources.read_lines,
+        }
+        ds = readers[args.format](args.input)
+        try:
+            stage = tql.compile_pipeline(args.pipeline)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            ray.shutdown()
+            return 2
+        out = stage(ds)
+        if args.output == "-":
+            limit = args.limit if args.limit is not None else 100
+            for row in out.limit(limit).take(limit):
+                print(json.dumps(row, default=str))
+        else:
+            sources.write_parquet(out, args.output)
+            print(json.dumps({"rows": out.count(), "output": args.output}), file=sys.stderr)
+        ray.shutdown()
+        return 0
 
     if args.cmd == "generate":
         from tenzir_ray.cdc.binlog import generate_binlog

@@ -178,10 +178,12 @@ def dedup_minhash_lsh(
     verification are fetched per candidate pair from a broadcast
     id→text map built from candidate ids ONLY."""
     num_cpus_total = int(ray.cluster_resources().get("CPU", 4))
+    # autoscaling pool: spawn 1, grow toward cpu/4 only if the input
+    # actually has enough batches (small corpora stay spawn-cheap)
     hashed = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"text_col": text_col, "num_perm": num_perm, "shingle_k": shingle_k},
-        concurrency=max(1, num_cpus_total // 4),
+        concurrency=(1, max(2, num_cpus_total // 4)),
         num_cpus=0.5,
         **_PYARROW,
     ).materialize()
@@ -268,7 +270,7 @@ def dedup_simhash(
     hashed = ds.map_batches(
         SimHasher,
         fn_constructor_kwargs={"text_col": text_col},
-        concurrency=max(1, num_cpus_total // 4),
+        concurrency=(1, max(2, num_cpus_total // 4)),
         num_cpus=0.5,
         **_PYARROW,
     ).materialize()
