@@ -366,6 +366,21 @@ def _q_ann_ivf(sf_dir):
     return out
 
 
+def _q_sessionize(sf_dir):
+    from tenzir_ray.ops.window import sessionize
+
+    ds = read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_id", "ts"])
+    out = sessionize(ds, key="user_id", ts_col="ts", gap="1h")
+    return ops.select(out, ["user_id", "event_id", "session_id"])
+
+
+def _q_tumbling_counts(sf_dir):
+    from tenzir_ray.ops.window import tumbling_count
+
+    ds = read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    return tumbling_count(ds, key="user_id", ts_col="ts", width="1h", out_col="n")
+
+
 def _q_where_matches(sf_dir):
     ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return ops.select(ops.where(ds, 'text matches "spark"'), ["doc_id"])
@@ -495,6 +510,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compress_roundtrip_docs": _q_compress_roundtrip,
         "cef_roundtrip": _q_cef_roundtrip,
         "pseudonymize_ips": _q_pseudonymize,
+        "sessionize_events": _q_sessionize,
+        "tumbling_counts": _q_tumbling_counts,
     }
 
 
@@ -660,6 +677,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(event_id AS VARCHAR) AS signature_id,
                    event_type AS name, '5' AS severity
             FROM events
+        """,
+        "sessionize_events": """
+            SELECT user_id, event_id,
+                   CAST(SUM(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                 > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_s
+                FROM events)
+        """,
+        "tumbling_counts": """
+            SELECT user_id, date_trunc('hour', ts) AS ts, count(*) AS n
+            FROM events GROUP BY 1, 2
         """,
         # lang_id_docs / dedup_minhash_docs / dedup_simhash_docs /
         # dedup_embedding_vecs / ann_ivf_top10 / cdc_replay /

@@ -234,7 +234,13 @@ def parse(text: str) -> Node:
 
 
 def _resolve_field(table: pa.Table, path: tuple):
-    """Resolve a dotted path against a table, descending into structs."""
+    """Resolve a dotted path against a table, descending into structs.
+    A missing field resolves to all-null (the reference's
+    missing-field-becomes-null rule, cast.hpp / summarize unification)
+    — which a concept disjunction relies on when only some of its
+    concrete fields exist in a given schema."""
+    if path[0] not in table.column_names:
+        return pa.nulls(table.num_rows)
     col = table[path[0]]
     for part in path[1:]:
         if isinstance(col, pa.ChunkedArray):
@@ -337,10 +343,39 @@ def _validate(node: Node) -> None:
         _validate(node.rhs)
 
 
-def compile_predicate(expr: Union[str, Node]) -> Callable[[pa.Table], pa.ChunkedArray]:
+def resolve_concepts(node: Node, concepts: dict) -> Node:
+    """Taxonomy/concept resolution (reference:
+    ``include/tenzir/taxonomies.hpp:25-68``, applied by `where` before
+    tailoring, ``builtins/operators/where.cpp:68-89``): a concept name
+    maps to several concrete fields; a predicate over the concept
+    becomes the DISJUNCTION of the predicate over each field present in
+    the batch (missing fields contribute null → excluded)."""
+    if isinstance(node, Cmp):
+        lhs = node.lhs
+        if isinstance(lhs, Field) and ".".join(lhs.path) in concepts:
+            fields = concepts[".".join(lhs.path)]
+            parts = tuple(Cmp(node.op, Field(tuple(f.split("."))), node.rhs) for f in fields)
+            return parts[0] if len(parts) == 1 else Or(parts)
+        return node
+    if isinstance(node, And):
+        return And(tuple(resolve_concepts(p, concepts) for p in node.parts))
+    if isinstance(node, Or):
+        return Or(tuple(resolve_concepts(p, concepts) for p in node.parts))
+    if isinstance(node, Not):
+        return Not(resolve_concepts(node.inner, concepts))
+    return node
+
+
+def compile_predicate(
+    expr: Union[str, Node], concepts: Optional[dict] = None
+) -> Callable[[pa.Table], pa.ChunkedArray]:
     """Compile a predicate to ``table -> boolean mask`` (nulls → excluded
-    downstream, matching the reference's bitmap-filter semantics)."""
+    downstream, matching the reference's bitmap-filter semantics).
+    ``concepts`` optionally maps vocabulary names to concrete field
+    lists (taxonomy resolution)."""
     node = parse(expr) if isinstance(expr, str) else expr
+    if concepts:
+        node = resolve_concepts(node, concepts)
     _validate(node)
 
     def mask(table: pa.Table):

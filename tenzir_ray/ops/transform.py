@@ -27,11 +27,14 @@ _PYARROW = dict(batch_format="pyarrow", zero_copy_batch=True)
 # ---------------------------------------------------------------------------
 
 
-def where(ds: Dataset, expr: Union[str, Node]) -> Dataset:
+def where(ds: Dataset, expr: Union[str, Node], concepts: Optional[Dict] = None) -> Dataset:
     """Keep rows matching the predicate (reference: `where <expr>`,
     ``builtins/operators/where.cpp:53-125``; mask-then-filter per
-    ``table_slice.hpp:358-373``). Null mask entries drop the row."""
-    mask_fn = compile_predicate(expr)
+    ``table_slice.hpp:358-373``). Null mask entries drop the row.
+    ``concepts`` maps taxonomy names to concrete field lists
+    (``taxonomies.hpp``; resolved before evaluation like the
+    reference's per-schema tailoring at ``where.cpp:68-89``)."""
+    mask_fn = compile_predicate(expr, concepts=concepts)
 
     def apply(t: pa.Table) -> pa.Table:
         return t.filter(pc.fill_null(mask_fn(t), False))

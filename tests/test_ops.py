@@ -183,3 +183,36 @@ def test_feather_roundtrip(tmp_path):
     write_feather(ds, out_dir)
     back = read_feather(out_dir)
     assert sorted(r["x"] for r in rows(back)) == [1, 2, 3, 4, 5]
+
+
+def test_where_concepts_and_missing_field():
+    t = pa.table({"src_ip": ["10.0.0.1", "8.8.8.8"], "v": [1, 2]})
+    ds = ray.data.from_arrow(t)
+    # concept "source" resolves to [src_ip, orig_h]; orig_h missing -> null contribution
+    out = ops.where(ds, 'source == "8.8.8.8"', concepts={"source": ["src_ip", "orig_h"]})
+    assert [r["v"] for r in rows(out)] == [2]
+
+
+def test_sessionize_and_tumbling():
+    import datetime as dt
+
+    from tenzir_ray.ops.window import sessionize, tumbling_count
+
+    base = dt.datetime(2024, 1, 1)
+    t = pa.table(
+        {
+            "user_id": [1, 1, 1, 2, 2],
+            "event_id": [0, 1, 2, 3, 4],
+            "ts": pa.array(
+                [base, base + dt.timedelta(minutes=10), base + dt.timedelta(hours=3),
+                 base, base + dt.timedelta(hours=2)],
+                type=pa.timestamp("us"),
+            ),
+        }
+    )
+    out = sessionize(ray.data.from_arrow(t), "user_id", "ts", gap="1h").to_pandas()
+    out = out.sort_values("event_id")
+    assert out["session_id"].tolist() == [0, 0, 1, 0, 1]
+
+    tc = tumbling_count(ray.data.from_arrow(t), "user_id", "ts", width="1h").to_pandas()
+    assert tc["n"].sum() == 5 and len(tc) == 4
