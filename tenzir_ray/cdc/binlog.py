@@ -79,12 +79,10 @@ def generate_binlog(
     key_id = repo_idx * paths_per_repo + path_idx
 
     # first occurrence per key -> insert; later -> update (86%) / delete (14%)
+    # (vectorized "first occurrence": np.unique returns first indices)
     first_seen = np.zeros(n_events, dtype=bool)
-    seen = np.zeros(n_repos * paths_per_repo, dtype=bool)
-    # vectorized "first occurrence": np.unique returns first indices
     _, first_idx = np.unique(key_id, return_index=True)
     first_seen[first_idx] = True
-    seen = None  # noqa: F841  (kept conceptually; np.unique already did it)
     op_draw = rng.random(n_events)
     op = np.where(first_seen, 0, np.where(op_draw < 0.14, 2, 1))  # 0=ins,1=upd,2=del
 
