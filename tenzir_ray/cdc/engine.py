@@ -296,14 +296,25 @@ def replay(
     enrich_concurrency: Optional[int] = None,
     stop_after_chunks: Optional[int] = None,
     crash_before_commit_of_chunk: Optional[int] = None,
+    prefetch: bool = True,
 ) -> Dict:
     """Tail the binlog and apply every pending chunk; resumable.
+
+    ``prefetch``: while chunk N merges+commits, chunk N+1's
+    read→typed→combine stage runs in a driver thread and pins its
+    output. This is SAFE under the WAL contract: chunk N+1's events all
+    sit above chunk N's end offset (known a priori from shard
+    metadata), so its duplicate-delivery filter can use
+    ``applied_through = end(N)`` without waiting for N's commit; if N's
+    apply fails, the prefetched result is simply discarded.
 
     ``stop_after_chunks`` / ``crash_before_commit_of_chunk`` exist for
     the kill/resume tests (FIXTURES.md F5): the former stops cleanly
     after N manifest commits; the latter raises AFTER the chunk's data
     files are staged but BEFORE its manifest commit — the worst-case
     crash window the 2PC design must survive."""
+    from concurrent.futures import ThreadPoolExecutor
+
     lake = Lake.create(lake_root, num_buckets=num_buckets)
     man = lake.latest_manifest()
     if man["num_buckets"] != num_buckets:
@@ -312,6 +323,8 @@ def replay(
     pending = bl.pending_shards(binlog_dir, man["applied_through"])
     stats = {"chunks": 0, "events": 0, "wall_sec": 0.0}
     chunk_no = 0
+    pool = ThreadPoolExecutor(1) if prefetch else None
+    next_future = None  # (chunk_index, Future[MaterializedDataset])
     # running skew histogram: element-wise max of the last chunks'
     # per-bucket delta counts (sticky, so a salted bucket whose count
     # shrinks BECAUSE of salting stays flagged)
@@ -331,14 +344,36 @@ def replay(
 
         cur = lake.latest_manifest()
         t0 = time.perf_counter()
-        events = build_chunk_pipeline(
-            shard_paths,
-            num_buckets,
-            enrich=enrich,
-            enrich_concurrency=enrich_concurrency,
-            hwm={int(k): v for k, v in cur["hwm"].items()},
-            applied_through=cur["applied_through"],
-        )
+        if next_future is not None and next_future[0] == i:
+            events = next_future[1].result()  # prefetched + pinned
+            next_future = None
+        else:
+            events = build_chunk_pipeline(
+                shard_paths,
+                num_buckets,
+                enrich=enrich,
+                enrich_concurrency=enrich_concurrency,
+                hwm={int(k): v for k, v in cur["hwm"].items()},
+                applied_through=cur["applied_through"],
+            )
+        # kick off chunk N+1's read/typed/combine while N merges
+        if pool is not None and i + chunk_shards < len(pending):
+            nxt = pending[i + chunk_shards : i + 2 * chunk_shards]
+            nxt_paths = [f"{binlog_dir}/{s['file']}" for s in nxt]
+            end_of_current = group[-1]["max_offset"]
+
+            def _prefetch(paths=nxt_paths, at=end_of_current):
+                ds = build_chunk_pipeline(
+                    paths,
+                    num_buckets,
+                    enrich=enrich,
+                    enrich_concurrency=enrich_concurrency,
+                    hwm=None,
+                    applied_through=at,
+                )
+                return ds.materialize()
+
+            next_future = (i + chunk_shards, pool.submit(_prefetch))
         if crash_before_commit_of_chunk == chunk_no:
             # stage everything, then die before the commit point
             _stage_without_commit(lake, events, chunk_id, salt_threshold, num_salts)
@@ -365,6 +400,8 @@ def replay(
         stats["chunks"] += 1
         stats["events"] += n_events
         stats["wall_sec"] += wall
+    if pool is not None:
+        pool.shutdown(wait=False, cancel_futures=True)
     stats["events_per_sec"] = round(stats["events"] / max(stats["wall_sec"], 1e-9), 1)
     stats["manifest_version"] = lake.latest_manifest()["version"]
     return stats
