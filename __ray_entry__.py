@@ -197,7 +197,14 @@ def _q_taste(sf_dir):
     return ops.taste(ds, "o_orderpriority", n=2, order_by="o_orderkey")
 
 
+def _preserve_order():
+    # consecutive-dedup / enumerate are order-dependent; pin the
+    # streaming executor's block order for the session
+    ray.data.DataContext.get_current().execution_options.preserve_order = True
+
+
 def _q_unique_consecutive(sf_dir):
+    _preserve_order()
     ds = read_parquet(_t(sf_dir, "events"), columns=["event_id", "event_type"])
     ds = ops.sort(ds, "event_id")
     ds = ops.select(ds, ["event_type"])
@@ -205,6 +212,7 @@ def _q_unique_consecutive(sf_dir):
 
 
 def _q_enumerate(sf_dir):
+    _preserve_order()
     ds = ops.sort(read_parquet(_t(sf_dir, "nation")), "n_nationkey")
     return ops.enumerate_op(ds, field="row_id")
 

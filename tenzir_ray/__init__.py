@@ -27,3 +27,16 @@ __version__ = "0.1.0"
 
 from tenzir_ray import ops  # noqa: F401
 from tenzir_ray.expr import compile_predicate, compile_scalar, parse  # noqa: F401
+
+# heavier subsystems import lazily on attribute access so `import
+# tenzir_ray` stays cheap for workers
+_LAZY = ("ann", "cdc", "dedup", "formats", "multimodal", "registry",
+         "serve", "sigma", "sources", "text", "tql")
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        return importlib.import_module(f"tenzir_ray.{name}")
+    raise AttributeError(f"module 'tenzir_ray' has no attribute {name!r}")

@@ -29,7 +29,6 @@ from __future__ import annotations
 import hashlib
 import re
 import time
-import zlib
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -75,15 +74,14 @@ def _str_slices(col: pa.ChunkedArray):
 
 def parse_events(batch: pa.Table, num_buckets: int) -> pa.Table:
     """Typed parse: validate op, stamp ``_bucket`` and the 64-bit key
-    hash ``_key`` (hashlib/zlib C cores digesting straight off the
+    hash ``_key`` (hashlib C cores digesting straight off the
     Arrow buffers — no Python strings materialize).
 
-    The key hash is a composite of two chained crc32s
-    (crc(repo||0) high word, crc(repo||0||path) low word); the
-    within-batch combiner dedups on it (collision odds ~2^-64 per
-    pair; the per-bucket FINAL merge compares real strings, so a
-    collision could only affect intra-chunk combining, never the lake
-    key space).
+    The key hash is the canonical :func:`tenzir_ray.cdc.lake.key_hash64`
+    (blake2b-8 over repo||0||path — full 64-bit entropy; collision odds
+    ~2^-64 per pair, and the per-bucket FINAL merge compares real
+    strings, so a collision could only affect intra-chunk combining,
+    never the lake key space).
 
     ``content_sha256`` (the parity invariant) is NOT computed here:
     only merge WINNERS need it, and winners per chunk are ~50x fewer
@@ -93,12 +91,16 @@ def parse_events(batch: pa.Table, num_buckets: int) -> pa.Table:
         batch = batch.filter(op_ok)
 
     n = batch.num_rows
-    _crc = zlib.crc32
+    _b2 = hashlib.blake2b
+    _from_bytes = int.from_bytes
     keys = np.empty(n, dtype=np.uint64)
     i = 0
     for r_mv, p_mv in zip(_str_slices(batch["repo"]), _str_slices(batch["path"])):
-        hi = _crc(b"\x00", _crc(r_mv))
-        keys[i] = (hi << 32) | _crc(p_mv, hi)
+        h = _b2(digest_size=8)
+        h.update(r_mv)
+        h.update(b"\x00")
+        h.update(p_mv)
+        keys[i] = _from_bytes(h.digest(), "little")
         i += 1
     buckets = (keys % np.uint64(num_buckets)).astype(np.int64)
     batch = batch.append_column("_bucket", pa.array(buckets, type=pa.int64()))
@@ -332,76 +334,83 @@ def replay(
     for entry in man["lineage"]:
         for b, c in entry.get("bucket_delta_rows", {}).items():
             histogram[int(b)] = max(histogram.get(int(b), 0), int(c))
-    for i in range(0, len(pending), chunk_shards):
-        group = pending[i : i + chunk_shards]
-        chunk_no += 1
-        if stop_after_chunks is not None and chunk_no > stop_after_chunks:
-            break
-        chunk_id = f"chunk-{group[0]['min_offset']}-{group[-1]['max_offset']}"
-        shard_paths = [f"{binlog_dir}/{s['file']}" for s in group]
-        n_events = sum(s["rows"] for s in group)
-        events_schema = _chunk_schema(shard_paths)
+    try:
+        for i in range(0, len(pending), chunk_shards):
+            group = pending[i : i + chunk_shards]
+            chunk_no += 1
+            if stop_after_chunks is not None and chunk_no > stop_after_chunks:
+                break
+            chunk_id = f"chunk-{group[0]['min_offset']}-{group[-1]['max_offset']}"
+            shard_paths = [f"{binlog_dir}/{s['file']}" for s in group]
+            # UNIQUE binlog offsets, not delivered rows — shard "rows"
+            # include duplicate-delivery repeats, which would inflate
+            # the events/sec headline
+            n_events = group[-1]["max_offset"] - group[0]["min_offset"] + 1
+            events_schema = _chunk_schema(shard_paths)
 
-        cur = lake.latest_manifest()
-        t0 = time.perf_counter()
-        if next_future is not None and next_future[0] == i:
-            events = next_future[1].result()  # prefetched + pinned
-            next_future = None
-        else:
-            events = build_chunk_pipeline(
-                shard_paths,
-                num_buckets,
-                enrich=enrich,
-                enrich_concurrency=enrich_concurrency,
-                hwm={int(k): v for k, v in cur["hwm"].items()},
-                applied_through=cur["applied_through"],
-            )
-        # kick off chunk N+1's read/typed/combine while N merges
-        if pool is not None and i + chunk_shards < len(pending):
-            nxt = pending[i + chunk_shards : i + 2 * chunk_shards]
-            nxt_paths = [f"{binlog_dir}/{s['file']}" for s in nxt]
-            end_of_current = group[-1]["max_offset"]
-
-            def _prefetch(paths=nxt_paths, at=end_of_current):
-                ds = build_chunk_pipeline(
-                    paths,
+            cur = lake.latest_manifest()
+            t0 = time.perf_counter()
+            if next_future is not None and next_future[0] == i:
+                events = next_future[1].result()  # prefetched + pinned
+                next_future = None
+            else:
+                events = build_chunk_pipeline(
+                    shard_paths,
                     num_buckets,
                     enrich=enrich,
                     enrich_concurrency=enrich_concurrency,
-                    hwm=None,
-                    applied_through=at,
+                    hwm={int(k): v for k, v in cur["hwm"].items()},
+                    applied_through=cur["applied_through"],
                 )
-                return ds.materialize()
+            # kick off chunk N+1's read/typed/combine while N merges
+            if pool is not None and i + chunk_shards < len(pending):
+                nxt = pending[i + chunk_shards : i + 2 * chunk_shards]
+                nxt_paths = [f"{binlog_dir}/{s['file']}" for s in nxt]
+                end_of_current = group[-1]["max_offset"]
 
-            next_future = (i + chunk_shards, pool.submit(_prefetch))
-        if crash_before_commit_of_chunk == chunk_no:
-            # stage everything, then die before the commit point
-            _stage_without_commit(lake, events, chunk_id, salt_threshold, num_salts)
-            raise RuntimeError(f"injected crash before manifest commit of {chunk_id}")
-        man = apply_chunk(
-            lake,
-            events,
-            chunk_id,
-            chunk_max_offset=group[-1]["max_offset"],
-            salt_threshold=salt_threshold,
-            num_salts=num_salts,
-            hot_buckets=histogram,
-            lineage_extra={"events": n_events},
-            events_schema=events_schema,
-            pre_combined=True,
-        )
-        for b, c in man["lineage"][-1].get("bucket_delta_rows", {}).items():
-            histogram[int(b)] = max(histogram.get(int(b), 0), int(c))
-        wall = time.perf_counter() - t0
-        man["lineage"][-1].update(
-            {"wall_sec": round(wall, 3), "events_per_sec": round(n_events / max(wall, 1e-9), 1)}
-        )
-        lake.commit(man)  # amend lineage in-place (same version, atomic replace)
-        stats["chunks"] += 1
-        stats["events"] += n_events
-        stats["wall_sec"] += wall
-    if pool is not None:
-        pool.shutdown(wait=False, cancel_futures=True)
+                def _prefetch(paths=nxt_paths, at=end_of_current):
+                    ds = build_chunk_pipeline(
+                        paths,
+                        num_buckets,
+                        enrich=enrich,
+                        enrich_concurrency=enrich_concurrency,
+                        hwm=None,
+                        applied_through=at,
+                    )
+                    return ds.materialize()
+
+                next_future = (i + chunk_shards, pool.submit(_prefetch))
+            if crash_before_commit_of_chunk == chunk_no:
+                # stage everything, then die before the commit point
+                _stage_without_commit(lake, events, chunk_id, salt_threshold, num_salts)
+                raise RuntimeError(f"injected crash before manifest commit of {chunk_id}")
+            man = apply_chunk(
+                lake,
+                events,
+                chunk_id,
+                chunk_max_offset=group[-1]["max_offset"],
+                salt_threshold=salt_threshold,
+                num_salts=num_salts,
+                hot_buckets=histogram,
+                lineage_extra={"events": n_events},
+                events_schema=events_schema,
+                pre_combined=True,
+            )
+            for b, c in man["lineage"][-1].get("bucket_delta_rows", {}).items():
+                histogram[int(b)] = max(histogram.get(int(b), 0), int(c))
+            wall = time.perf_counter() - t0
+            man["lineage"][-1].update(
+                {"wall_sec": round(wall, 3), "events_per_sec": round(n_events / max(wall, 1e-9), 1)}
+            )
+            lake.commit(man)  # amend lineage in-place (same version, atomic replace)
+            stats["chunks"] += 1
+            stats["events"] += n_events
+            stats["wall_sec"] += wall
+    finally:
+        # also on crash-injection / apply failure: don't leak a live
+        # prefetch thread driving a Dataset against the cluster
+        if pool is not None:
+            pool.shutdown(wait=False, cancel_futures=True)
     stats["events_per_sec"] = round(stats["events"] / max(stats["wall_sec"], 1e-9), 1)
     stats["manifest_version"] = lake.latest_manifest()["version"]
     return stats

@@ -28,10 +28,10 @@ key-hash partitioning let readers prune buckets before ``read_parquet``
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
-import zlib
 from typing import Dict, List, Optional, Sequence, Union
 
 import numpy as np
@@ -42,15 +42,22 @@ from tenzir_ray.schema import LAKE_SCHEMA, schema_from_json, schema_to_json
 _MANIFEST_RE = re.compile(r"^manifest-(\d{6})\.json$")
 
 
-def key_hash64(repo_bytes: bytes, path_bytes: bytes) -> int:
-    """THE canonical 64-bit key hash of (repo, path): two chained
-    crc32s — crc(repo||0x00) in the high word, crc(repo||0x00||path)
-    in the low word. crc32 is deterministic across processes/runs
-    (unlike Python's builtin hash), which resume correctness requires.
+def key_hash64(repo_bytes, path_bytes) -> int:
+    """THE canonical 64-bit key hash of (repo, path): blake2b-8 over
+    ``repo || 0x00 || path``. Deterministic across processes/runs
+    (unlike Python's builtin hash), which resume correctness requires,
+    and with full 64-bit entropy over the WHOLE key — an earlier
+    chained-crc32 construction gave only 32 bits of repo entropy, so a
+    crc32(repo) collision (birthday-expected at ~10^5 repos, i.e. real
+    scale) collapsed two repos' same-named paths into one key and the
+    _key-based LWW combiner silently dropped one side's events.
     Every component (parse stage, lake pruning, rebucket) derives
     buckets as ``key_hash64 % num_buckets``."""
-    hi = zlib.crc32(b"\x00", zlib.crc32(repo_bytes))
-    return (hi << 32) | zlib.crc32(path_bytes, hi)
+    h = hashlib.blake2b(digest_size=8)
+    h.update(repo_bytes)
+    h.update(b"\x00")
+    h.update(path_bytes)
+    return int.from_bytes(h.digest(), "little")
 
 
 def key_bucket(repo: Union[str, Sequence[str]], path: Union[str, Sequence[str]], num_buckets: int):
@@ -171,15 +178,24 @@ class Lake:
     # -- maintenance --------------------------------------------------------
 
     def vacuum(self) -> List[str]:
-        """Delete data files not referenced by the LATEST manifest (the
+        """Delete SUPERSEDED data files: not referenced by the latest
+        manifest AND with a version number at or below it (the
         eraser/disk-monitor analog, ``src/eraser.cpp``,
-        ``src/disk_monitor.cpp``). Safe because readers resolve the
-        latest manifest before opening files."""
+        ``src/disk_monitor.cpp``). Safe for readers (they resolve the
+        latest manifest first) AND for a concurrent in-flight replay:
+        a chunk being applied stages its bucket files at version
+        latest+1, which the version guard leaves untouched."""
         man = self.latest_manifest()
+        current = man["version"]
         live = {os.path.basename(v["path"]) for v in man["files"].values()}
         removed = []
+        ver_re = re.compile(r"-v(\d{6})\.parquet$")
         for name in os.listdir(self.data_dir):
-            if name.endswith(".parquet") and name not in live:
-                os.remove(os.path.join(self.data_dir, name))
-                removed.append(name)
+            if not name.endswith(".parquet") or name in live:
+                continue
+            m = ver_re.search(name)
+            if m and int(m.group(1)) > current:
+                continue  # staged by an uncommitted chunk — not ours to reap
+            os.remove(os.path.join(self.data_dir, name))
+            removed.append(name)
         return removed

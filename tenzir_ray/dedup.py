@@ -35,6 +35,7 @@ from ray.data import Dataset
 _PYARROW = dict(batch_format="pyarrow", zero_copy_batch=True)
 
 _MERSENNE = (1 << 61) - 1
+_MAX_FULL_PAIR_BUCKET = 64
 
 
 # ---------------------------------------------------------------------------
@@ -90,8 +91,12 @@ class MinHasher:
 
     def __init__(self, text_col: str, num_perm: int = 64, shingle_k: int = 5, seed: int = 7):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
+        # a,b < 2^31 and shingle hashes < 2^32 keep a*x+b < 2^63+2^31,
+        # so the uint64 product never wraps BEFORE the Mersenne modulo
+        # (an earlier draw from [1, 2^61) silently overflowed, replacing
+        # the universal-hash family with an uncontrolled composite)
+        self.a = rng.integers(1, 1 << 31, num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, 1 << 31, num_perm, dtype=np.uint64)
         self.text_col = text_col
         self.num_perm = num_perm
         self.shingle_k = shingle_k
@@ -196,10 +201,21 @@ def dedup_minhash_lsh(
         ids = sorted(g[id_col].to_pylist())
         if len(ids) < 2:
             return pa.table({"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())})
-        canon = ids[0]
-        return pa.table(
-            {"a": pa.array([canon] * (len(ids) - 1)), "b": pa.array(ids[1:])}
-        )
+        # ALL within-bucket pairs: star-linking only to the min id loses
+        # true duplicate pairs whenever the min-id member is a minhash
+        # false positive. Quadratic blowup is capped: oversized buckets
+        # (hash collisions of near-identical content) fall back to the
+        # star so one degenerate bucket can't emit millions of pairs.
+        a_out, b_out = [], []
+        if len(ids) <= _MAX_FULL_PAIR_BUCKET:
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    a_out.append(ids[x])
+                    b_out.append(ids[y])
+        else:
+            a_out = [ids[0]] * (len(ids) - 1)
+            b_out = ids[1:]
+        return pa.table({"a": pa.array(a_out, type=pa.int64()), "b": pa.array(b_out, type=pa.int64())})
 
     pairs_tbl = (
         triples.groupby(["band", "bhash"])
@@ -352,8 +368,11 @@ def dedup_embedding(
         dim = vecs.shape[1]
         planes = np.random.default_rng(seed).normal(size=(dim, num_planes))
         bits = (vecs @ planes) > 0
-        bucket = np.packbits(bits, axis=1, bitorder="little")[:, :2].copy().view(np.uint16)[:, 0]
-        return t.append_column("__bucket", pa.array(bucket.astype(np.int64)))
+        # direct bits->integer; works for any num_planes <= 62 (packbits
+        # + view(uint16) crashed for num_planes <= 8)
+        weights = (1 << np.arange(bits.shape[1], dtype=np.int64))
+        bucket = (bits.astype(np.int64) * weights).sum(axis=1)
+        return t.append_column("__bucket", pa.array(bucket))
 
     def pairs_in_bucket(g: pa.Table) -> pa.Table:
         ids = g[id_col].to_pylist()

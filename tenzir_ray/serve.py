@@ -22,24 +22,48 @@ class Pager:
     """Continuation-token paging over a pipeline result.
 
     Tokens are opaque strings ("0", "64", ...); an empty ``next_token``
-    means exhausted. The dataset is materialized ONCE (serve results
-    are query outputs, already small relative to the input)."""
+    means exhausted. The dataset is materialized ONCE; pages are served
+    by slicing ONLY the blocks that overlap the requested range (the
+    same block-offset arithmetic as `tail`), so serving a page is
+    O(page), not O(prefix) — blocks stay in the object store until
+    their page is requested."""
 
     def __init__(self, ds: Dataset, page_size: int = DEFAULT_PAGE_SIZE):
+        import ray
+
         self.page_size = page_size
-        self._mat = ds.materialize()
-        self._total = self._mat.count()
+        mat = ds.materialize()
+        self._refs = mat.to_arrow_refs()
+
+        @ray.remote(num_cpus=0.25)
+        def _count(t: pa.Table) -> int:
+            return t.num_rows
+
+        self._counts = ray.get([_count.remote(r) for r in self._refs])
+        self._starts = [0]
+        for c in self._counts:
+            self._starts.append(self._starts[-1] + c)
+        self._total = self._starts[-1]
 
     def page(self, token: Optional[str] = None) -> Dict:
+        import ray
+
         start = int(token) if token else 0
         if start >= self._total:
             return {"events": [], "next_token": None}
-        # split_at-like slice without pulling the whole dataset
-        rows = self._mat.limit(start + self.page_size).take(start + self.page_size)[start:]
-        nxt = start + len(rows)
+        end = min(start + self.page_size, self._total)
+        rows = []
+        for i, (blk_start, cnt) in enumerate(zip(self._starts, self._counts)):
+            blk_end = blk_start + cnt
+            if blk_end <= start or blk_start >= end:
+                continue
+            t = ray.get(self._refs[i])
+            lo = max(0, start - blk_start)
+            hi = min(cnt, end - blk_start)
+            rows.extend(t.slice(lo, hi - lo).to_pylist())
         return {
             "events": rows,
-            "next_token": str(nxt) if nxt < self._total else None,
+            "next_token": str(end) if end < self._total else None,
         }
 
     def __iter__(self):

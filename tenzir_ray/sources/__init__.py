@@ -37,12 +37,20 @@ def read_parquet(
     dataset expression so row groups are pruned AT THE READ — the Ray
     analog of the reference's `where.optimize()` pushdown
     (``builtins/operators/where.cpp:109-117``) and catalog pruning.
+    Predicates the dataset expression language can't express (regex,
+    struct paths, arithmetic) fall back to a post-read vectorized
+    filter — the predicate is ALWAYS applied, never silently dropped.
     Reference store: ``plugins/parquet/parquet.cpp:379-478``.
     """
     flt = to_dataset_filter(predicate) if predicate is not None else None
-    return ray.data.read_parquet(
+    ds = ray.data.read_parquet(
         paths, columns=list(columns) if columns else None, filter=flt, **kwargs
     )
+    if predicate is not None and flt is None:
+        from tenzir_ray.ops import where as _where
+
+        ds = _where(ds, predicate)
+    return ds
 
 
 def read_csv(paths, **kwargs) -> Dataset:
