@@ -70,6 +70,50 @@ def key_bucket(repo: Union[str, Sequence[str]], path: Union[str, Sequence[str]],
     )
 
 
+class BloomFilter:
+    """Tiny Bloom filter over strings — the catalog-synopsis analog
+    (``include/tenzir/bloom_filter_synopsis.hpp`` /
+    ``string_synopsis.hpp``): each bucket file's manifest entry carries
+    one for ``repo``, so point reads prune buckets whose filter misses
+    WITHOUT opening any file. Serialized as hex for the JSON manifest.
+    k=4 hashes derived from one blake2b digest; m sized at ~10 bits per
+    expected element (~1% FPR)."""
+
+    K = 4
+
+    def __init__(self, m_bits: int, bits: Optional[int] = None):
+        self.m = m_bits
+        self.bits = bits if bits is not None else 0
+
+    @classmethod
+    def build(cls, values, expected: Optional[int] = None) -> "BloomFilter":
+        vals = list(values)
+        m = max(64, 10 * (expected or len(vals)))
+        bf = cls(m)
+        for v in vals:
+            bf.add(v)
+        return bf
+
+    def _positions(self, value: str):
+        d = hashlib.blake2b(value.encode(), digest_size=16).digest()
+        for i in range(self.K):
+            yield int.from_bytes(d[i * 4 : i * 4 + 4], "little") % self.m
+
+    def add(self, value: str) -> None:
+        for p in self._positions(value):
+            self.bits |= 1 << p
+
+    def might_contain(self, value: str) -> bool:
+        return all((self.bits >> p) & 1 for p in self._positions(value))
+
+    def to_json(self) -> dict:
+        return {"m": self.m, "bits": format(self.bits, "x")}
+
+    @classmethod
+    def from_json(cls, spec: dict) -> "BloomFilter":
+        return cls(spec["m"], int(spec["bits"], 16) if spec["bits"] else 0)
+
+
 class Lake:
     """A bucketed Parquet lake table rooted at ``root``."""
 
@@ -147,16 +191,26 @@ class Lake:
         self,
         columns: Optional[Sequence[str]] = None,
         key: Optional[tuple] = None,
+        repo: Optional[str] = None,
         **kwargs,
     ):
         """Read the lake as a Dataset. ``key=(repo, path)`` prunes to the
-        single bucket that can contain the key (catalog-lookup analog)."""
+        single bucket that can contain the key; ``repo=`` prunes to the
+        buckets whose repo Bloom synopsis might contain it (the
+        catalog-lookup analog, ``src/catalog.cpp:88-115`` with
+        Bloom-filter synopses)."""
         import ray.data
 
         man = self.latest_manifest()
         buckets = None
         if key is not None:
             buckets = [key_bucket(key[0], key[1], man["num_buckets"])]
+        elif repo is not None:
+            buckets = []
+            for b, entry in man["files"].items():
+                spec = entry.get("repo_bloom")
+                if spec is None or BloomFilter.from_json(spec).might_contain(repo):
+                    buckets.append(int(b))
         files = self.data_files(buckets)
         if not files:
             return ray.data.from_arrow(self.schema().empty_table())

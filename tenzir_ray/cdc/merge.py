@@ -181,6 +181,13 @@ class _FinalMerge:
         pq.write_table(out, tmp, compression="zstd", row_group_size=65_536)
         os.replace(tmp, final_path)
 
+        # per-bucket repo Bloom synopsis (catalog-sketch analog) so
+        # point reads prune buckets without opening files
+        from tenzir_ray.cdc.lake import BloomFilter
+
+        import json as _json
+
+        bloom = BloomFilter.build(set(out["repo"].to_pylist()))
         return pa.table(
             {
                 "bucket": pa.array([bucket], type=pa.int64()),
@@ -189,6 +196,7 @@ class _FinalMerge:
                 "bytes": pa.array([os.path.getsize(final_path)], type=pa.int64()),
                 "max_offset": pa.array([max_offset], type=pa.int64()),
                 "delta_rows": pa.array([int(delta_rows)], type=pa.int64()),
+                "repo_bloom": pa.array([_json.dumps(bloom.to_json())]),
             }
         )
 
@@ -299,9 +307,16 @@ def apply_chunk(
     # 10^5 buckets a full histogram would bloat every manifest
     hist_floor = max(1, salt_threshold // 4)
     histogram = {}
+    import json as _json
+
     for _, r in meta.iterrows():
         b = str(int(r["bucket"]))
-        files[b] = {"path": r["path"], "rows": int(r["rows"]), "bytes": int(r["bytes"])}
+        files[b] = {
+            "path": r["path"],
+            "rows": int(r["rows"]),
+            "bytes": int(r["bytes"]),
+            "repo_bloom": _json.loads(r["repo_bloom"]),
+        }
         new_hwm[b] = max(int(new_hwm.get(b, -1)), int(r["max_offset"]))
         if int(r["delta_rows"]) >= hist_floor:
             histogram[b] = int(r["delta_rows"])

@@ -226,6 +226,33 @@ def parse_ndjson(
     return ds.map_batches(apply, **_PYARROW)
 
 
+def route_schemas(ds: Dataset, schema_col: str = "_schema") -> Dict[str, Dataset]:
+    """Split a multi-schema stream into one Dataset per schema — the
+    Ray-native stand-in for the reference's heterogeneous pipelines
+    (every reference operator keeps per-schema state via
+    ``schematic_operator``, ``pipeline.hpp:685-730``; here each schema
+    gets its own homogeneous Dataset and the operator library applies
+    per branch). The input is materialized once; each branch filters
+    the shared blocks (no duplicate upstream execution)."""
+    mat = ds.materialize()
+    names = mat.unique(schema_col)
+    out: Dict[str, Dataset] = {}
+    for name in sorted(n for n in names if n is not None):
+
+        def keep(t: pa.Table, name=name) -> pa.Table:
+            import pyarrow.compute as pc
+
+            kept = t.filter(pc.equal(t[schema_col], name))
+            # drop all-null columns so each branch carries only its
+            # schema's fields (union-parse fills the others with null)
+            drop = [c for c in kept.column_names
+                    if c != schema_col and kept[c].null_count == kept.num_rows]
+            return kept.drop_columns(drop)
+
+        out[name] = mat.map_batches(keep, **_PYARROW)
+    return out
+
+
 def parse_suricata(ds: Dataset, text_col: str = "text") -> Dataset:
     """Suricata EVE JSON (configured variant of the json parser,
     ``builtins/formats/json.cpp:1119``)."""

@@ -175,3 +175,20 @@ def test_rebucket_compaction(binlog_dir):
     a = Lake(src).to_arrow().sort_by([("repo", "ascending"), ("path", "ascending")])
     b = Lake(dst).to_arrow().sort_by([("repo", "ascending"), ("path", "ascending")])
     assert a.equals(b.select(a.column_names))
+
+
+def test_bloom_pruned_repo_read(binlog_dir):
+    root = fresh_lake("bloom")
+    replay(binlog_dir, root, num_buckets=16, chunk_shards=2)
+    lake = Lake(root)
+    man = lake.latest_manifest()
+    assert all("repo_bloom" in f for f in man["files"].values())
+    t = lake.to_arrow()
+    repo = t["repo"][0].as_py()
+    pruned = lake.read(repo=repo)
+    # every row of that repo is present, and at least one bucket was pruned
+    rows = pruned.to_pandas()
+    full = t.to_pandas()
+    assert (rows["repo"] == repo).sum() == (full["repo"] == repo).sum()
+    missing_repo = "repo-zz-not-there"
+    assert len(lake.read(repo=missing_repo).input_files()) < len(man["files"])

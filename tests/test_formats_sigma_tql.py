@@ -167,3 +167,17 @@ def test_parse_ndjson_selector():
     assert sorted(out["_schema"]) == ["suricata.alert", "suricata.dns"]
     out = formats.parse_ndjson(lines_ds(lines)).to_pandas()
     assert len(out) == 2 and "_schema" not in out.columns
+
+
+def test_route_schemas():
+    lines = [
+        '{"event_type": "alert", "sev": 3}',
+        '{"event_type": "dns", "q": "a.com"}',
+        '{"event_type": "alert", "sev": 1}',
+    ]
+    routed = formats.route_schemas(formats.parse_suricata(lines_ds(lines)))
+    assert set(routed) == {"suricata.alert", "suricata.dns"}
+    alerts = routed["suricata.alert"].to_pandas()
+    assert sorted(alerts["sev"]) == [1, 3]
+    assert "q" not in alerts.columns  # dns-only field dropped from alert branch
+    assert routed["suricata.dns"].count() == 1
