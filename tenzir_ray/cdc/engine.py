@@ -241,7 +241,7 @@ def build_chunk_pipeline(
     *,
     enrich: bool = True,
     enrich_concurrency: Optional[int] = None,
-    batch_size: int = 16384,
+    batch_size: int = 131072,
     hwm: Optional[Dict[int, int]] = None,
     applied_through: int = -1,
 ) -> Dataset:
