@@ -21,7 +21,9 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-_PYARROW = dict(batch_format="pyarrow", zero_copy_batch=True)
+# batch_size=None = one whole block per batch: every kernel here is
+# vectorized, so Ray's 1024-row default would only add per-batch overhead
+_PYARROW = dict(batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 def _to_matrix(col) -> np.ndarray:

@@ -32,7 +32,9 @@ import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
-_PYARROW = dict(batch_format="pyarrow", zero_copy_batch=True)
+# batch_size=None = one whole block per batch: every kernel here is
+# vectorized, so Ray's 1024-row default would only add per-batch overhead
+_PYARROW = dict(batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 _MERSENNE = (1 << 61) - 1
 _MAX_FULL_PAIR_BUCKET = 64

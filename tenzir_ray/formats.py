@@ -28,7 +28,9 @@ from typing import Dict, List, Optional
 import pyarrow as pa
 from ray.data import Dataset
 
-_PYARROW = dict(batch_format="pyarrow", zero_copy_batch=True)
+# batch_size=None = one whole block per batch: every kernel here is
+# vectorized, so Ray's 1024-row default would only add per-batch overhead
+_PYARROW = dict(batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 # ---------------------------------------------------------------------------
 # CEF
@@ -162,7 +164,7 @@ def parse_zeek_tsv(ds: Dataset, text_col: str = "text") -> Dataset:
     def apply(t: pa.Table) -> pa.Table:
         return parse_zeek_tsv_text(t[text_col].to_pylist())
 
-    return ds.repartition(1).map_batches(apply, batch_size=None, **_PYARROW)
+    return ds.repartition(1).map_batches(apply, **_PYARROW)
 
 
 # ---------------------------------------------------------------------------

@@ -26,7 +26,9 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import AggregateFn, Count, Max, Mean, Min, Std, Sum
 
-_PYARROW = dict(batch_format="pyarrow", zero_copy_batch=True)
+# batch_size=None = one whole block per batch: every kernel here is
+# vectorized, so Ray's 1024-row default would only add per-batch overhead
+_PYARROW = dict(batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 def _col(block, name: str):

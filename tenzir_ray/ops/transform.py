@@ -19,7 +19,9 @@ from ray.data import Dataset
 
 from tenzir_ray.expr import Node, compile_predicate, compile_scalar
 
-_PYARROW = dict(batch_format="pyarrow", zero_copy_batch=True)
+# batch_size=None = one whole block per batch: every kernel here is
+# vectorized, so Ray's 1024-row default would only add per-batch overhead
+_PYARROW = dict(batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 # ---------------------------------------------------------------------------
