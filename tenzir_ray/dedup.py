@@ -187,12 +187,15 @@ def dedup_minhash_lsh(
     num_cpus_total = int(ray.cluster_resources().get("CPU", 4))
     # autoscaling pool: spawn 1, grow toward cpu/4 only if the input
     # actually has enough batches (small corpora stay spawn-cheap)
+    # EXPLICIT moderate batch size: signature computation is per-row
+    # Python (the expensive part); whole-block batches would hand one
+    # giant batch to one actor and serialize the pool
     hashed = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"text_col": text_col, "num_perm": num_perm, "shingle_k": shingle_k},
         concurrency=(1, max(2, num_cpus_total // 4)),
         num_cpus=0.5,
-        **_PYARROW,
+        **{**_PYARROW, "batch_size": 256},
     ).materialize()
 
     triples = hashed.map_batches(
@@ -234,7 +237,17 @@ def dedup_minhash_lsh(
             for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
                 if i in cand_ids:
                     texts[i] = t
-        pairs = [p for p in pairs if jaccard(texts[p[0]], texts[p[1]], shingle_k) >= threshold]
+        # shingle each candidate ONCE (a doc appears in many pairs;
+        # recomputing per pair made verification O(pairs * doclen))
+        shingles = {i: set(_shingle_hashes(texts[i] or "", shingle_k)) for i in cand_ids}
+
+        def _jaccard_cached(a, b) -> float:
+            sa, sb = shingles[a], shingles[b]
+            if not sa and not sb:
+                return 1.0
+            return len(sa & sb) / max(1, len(sa | sb))
+
+        pairs = [p for p in pairs if _jaccard_cached(p[0], p[1]) >= threshold]
 
     roots = _union_find(pairs)
     losers = {x for x, r in roots.items() if r != x}
@@ -290,7 +303,7 @@ def dedup_simhash(
         fn_constructor_kwargs={"text_col": text_col},
         concurrency=(1, max(2, num_cpus_total // 4)),
         num_cpus=0.5,
-        **_PYARROW,
+        **{**_PYARROW, "batch_size": 256},
     ).materialize()
 
     def emit_buckets(t: pa.Table) -> pa.Table:
