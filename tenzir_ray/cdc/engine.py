@@ -349,6 +349,14 @@ def replay(
             events_schema = _chunk_schema(shard_paths)
 
             cur = lake.latest_manifest()
+            if chunk_id in cur["applied_chunks"]:
+                # idempotent skip: apply_chunk would no-op, so do NOT
+                # amend the (different, pre-existing) last lineage entry
+                # with this chunk's wall time, and do NOT count its
+                # events as processed
+                if next_future is not None and next_future[0] == i:
+                    next_future = None  # discard the stale prefetch
+                continue
             t0 = time.perf_counter()
             if next_future is not None and next_future[0] == i:
                 events = next_future[1].result()  # prefetched + pinned

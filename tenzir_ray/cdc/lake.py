@@ -214,7 +214,19 @@ class Lake:
         files = self.data_files(buckets)
         if not files:
             return ray.data.from_arrow(self.schema().empty_table())
-        return ray.data.read_parquet(files, columns=list(columns) if columns else None, **kwargs)
+        # always read under the MANIFEST schema, not the first fragment's:
+        # after additive evolution, buckets untouched since the evolving
+        # chunk still hold old-schema files, and an inferred-schema read
+        # would omit (or KeyError on) evolved columns. With the declared
+        # schema, pyarrow's dataset layer fills missing columns with
+        # nulls — the documented F4 "pre-evolution rows read back as
+        # null" rule.
+        return ray.data.read_parquet(
+            files,
+            columns=list(columns) if columns else None,
+            schema=self.schema(),
+            **kwargs,
+        )
 
     def to_arrow(self) -> pa.Table:
         """Whole lake as one Arrow table — TEST/small-scale helper only."""
@@ -243,9 +255,12 @@ class Lake:
         current = man["version"]
         live = {os.path.basename(v["path"]) for v in man["files"].values()}
         removed = []
-        ver_re = re.compile(r"-v(\d{6})\.parquet$")
+        ver_re = re.compile(r"-v(\d{6})\.parquet(?:\.tmp-\d+)?$")
         for name in os.listdir(self.data_dir):
-            if not name.endswith(".parquet") or name in live:
+            # crashed merge/erase tasks leave '*.parquet.tmp-<pid>'
+            # behind; reap those under the same version guard so they
+            # don't accumulate across crash/retry cycles
+            if not (name.endswith(".parquet") or ".parquet.tmp-" in name) or name in live:
                 continue
             m = ver_re.search(name)
             if m and int(m.group(1)) > current:

@@ -45,9 +45,12 @@ def compress_op(ds: Dataset, column: str, codec: str = "zstd", out_col: Optional
             raw = v.encode() if isinstance(v, str) else v
             lens.append(len(raw))
             comp.append(c.compress(raw, asbytes=True))
-        t = t.append_column(f"{column}_raw_len", pa.array(lens, type=pa.int64()))
-        idx = t.column_names.index(column)
-        return t.set_column(idx, out_col, pa.array(comp, type=pa.binary()))
+        t = t.append_column(f"{out_col}_raw_len", pa.array(lens, type=pa.int64()))
+        arr = pa.array(comp, type=pa.binary())
+        if out_col == column:
+            return t.set_column(t.column_names.index(column), column, arr)
+        # distinct output column: keep the source column intact
+        return t.append_column(out_col, arr)
 
     return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -64,8 +67,11 @@ def decompress_op(ds: Dataset, column: str, codec: str = "zstd", out_col: Option
             None if v is None else c.decompress(v, decompressed_size=n, asbytes=True)
             for v, n in zip(vals, lens)
         ]
-        idx = t.column_names.index(column)
-        t = t.set_column(idx, out_col, pa.array(out, type=pa.binary()))
+        arr = pa.array(out, type=pa.binary())
+        if out_col == column:
+            t = t.set_column(t.column_names.index(column), column, arr)
+        else:
+            t = t.append_column(out_col, arr)
         return t.drop_columns([f"{column}_raw_len"])
 
     return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)

@@ -102,3 +102,91 @@ def test_sha256_column_preserves_existing():
     assert vals[0] == "KEEP"
     assert vals[1] == hashlib.sha256(b"b").hexdigest()
     assert vals[2] is None
+
+
+def test_lake_read_carries_manifest_schema_after_evolution(tmp_path):
+    """Buckets untouched after additive evolution keep old-schema files;
+    read() must still expose the evolved columns (as nulls) instead of
+    inferring the first fragment's narrower schema."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.schema import schema_to_json
+
+    root = str(tmp_path / "lake")
+    lake = Lake.create(root, num_buckets=2)
+    man = lake.latest_manifest()
+    old = pa.table({"repo": ["r0"], "path": ["a"], "commit": ["c"], "lang": ["py"],
+                    "content": ["x"], "commit_seq": [0],
+                    "content_sha256": ["h0"]})
+    new = old.append_column("branch", pa.array(["main"]))
+    pq.write_table(old, os.path.join(root, "data/b00000-v000001.parquet"))
+    pq.write_table(new, os.path.join(root, "data/b00001-v000001.parquet"))
+    man.update({
+        "version": 1,
+        "files": {"0": {"path": "data/b00000-v000001.parquet", "rows": 1, "bytes": 1},
+                  "1": {"path": "data/b00001-v000001.parquet", "rows": 1, "bytes": 1}},
+        "schema": schema_to_json(new.schema),
+    })
+    lake.commit(man)
+
+    ds = lake.read()
+    assert "branch" in ds.schema().names
+    rows = ds.select_columns(["repo", "branch"]).sort("repo").take_all()
+    assert [r["branch"] for r in rows] == [None, "main"]
+
+
+def test_vacuum_reaps_orphan_tmp_files(tmp_path):
+    import os
+
+    root = str(tmp_path / "lake")
+    lake = Lake.create(root, num_buckets=2)
+    man = lake.latest_manifest()
+    man["version"] = 2
+    lake.commit(man)
+    stale = os.path.join(root, "data/b00001-v000001.parquet.tmp-999")
+    staged = os.path.join(root, "data/b00001-v000003.parquet.tmp-999")
+    open(stale, "w").close()
+    open(staged, "w").close()
+    removed = lake.vacuum()
+    assert "b00001-v000001.parquet.tmp-999" in removed
+    assert not os.path.exists(stale)
+    assert os.path.exists(staged)  # in-flight staging above current version
+
+
+def test_replay_skips_already_applied_chunk_without_lineage_damage(tmp_path):
+    import json
+
+    bl, rt = str(tmp_path / "bl"), str(tmp_path / "lake")
+    generate_binlog(bl, n_events=200, n_repos=2, paths_per_repo=3, shard_events=50,
+                    content_median=64)
+    replay(bl, rt, num_buckets=2, chunk_shards=2)
+    lake = Lake(rt)
+    man = lake.latest_manifest()
+    before = json.dumps(man["lineage"])
+    # force every chunk back into pending while applied_chunks still
+    # lists them: the straddle case the idempotence gate must absorb
+    man["applied_through"] = -1
+    lake.commit(man)
+    stats = replay(bl, rt, num_buckets=2, chunk_shards=2)
+    assert stats["chunks"] == 0 and stats["events"] == 0
+    assert json.dumps(lake.latest_manifest()["lineage"]) == before
+
+
+def test_compress_out_col_keeps_source_column():
+    import ray.data as rd
+
+    from tenzir_ray.ops.bytes import compress_op, decompress_op
+
+    import ray
+
+    ds = rd.from_arrow(pa.table({"text": ["hello", None, "world"]}))
+    comp = compress_op(ds, "text", codec="zstd", out_col="z")
+    t = pa.concat_tables([ray.get(r) for r in comp.to_arrow_refs()])
+    assert set(t.column_names) >= {"text", "z", "z_raw_len"}
+    assert t["text"].to_pylist() == ["hello", None, "world"]
+    back = decompress_op(rd.from_arrow(t), "z", codec="zstd", out_col="t2")
+    t2 = pa.concat_tables([ray.get(r) for r in back.to_arrow_refs()])
+    assert [None if v is None else v.decode() for v in t2["t2"].to_pylist()] == [
+        "hello", None, "world"]
