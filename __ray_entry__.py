@@ -145,8 +145,16 @@ def _q_project(sf_dir):
 
 
 def _q_summarize_q1(sf_dir):
-    ds = read_parquet(_t(sf_dir, "lineitem"))
-    ds = ops.where(ds, 'l_shipdate <= "1998-09-02"')
+    # pruned read: 6 of 16 columns + the shipdate predicate pushed to
+    # the parquet scan (row-group pruning), not applied post-read
+    ds = read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+        predicate='l_shipdate <= "1998-09-02"',
+    )
     ds = ops.extend(ds, {"disc_price": "l_extendedprice * (1 - l_discount)"})
     out = ops.summarize(
         ds,

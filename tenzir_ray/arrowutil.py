@@ -1,0 +1,35 @@
+"""Shared zero-copy Arrow buffer helpers.
+
+``str_slices`` is the repo's canonical way to feed string/binary column
+bytes into hashlib's C digest cores without materializing Python
+strings — the CDC hot path is memory-bandwidth bound and
+``to_pylist()`` would copy + decode every byte a second time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def str_slices(col):
+    """Yield one memoryview (or None for null) per row of a
+    string/large_string/binary column, straight off the Arrow buffers —
+    NO Python str objects are materialized."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    for chunk in chunks:
+        bufs = chunk.buffers()
+        if pa.types.is_large_string(chunk.type) or pa.types.is_large_binary(chunk.type):
+            offs = np.frombuffer(bufs[1], dtype=np.int64, offset=8 * chunk.offset,
+                                 count=len(chunk) + 1)
+        else:
+            offs = np.frombuffer(bufs[1], dtype=np.int32, offset=4 * chunk.offset,
+                                 count=len(chunk) + 1)
+        data = memoryview(bufs[2])
+        if chunk.null_count:
+            nulls = np.asarray(chunk.is_null())
+            for i in range(len(chunk)):
+                yield None if nulls[i] else data[offs[i] : offs[i + 1]]
+        else:
+            for i in range(len(chunk)):
+                yield data[offs[i] : offs[i + 1]]

@@ -47,29 +47,9 @@ _VALID_OPS = ("insert", "update", "delete")
 EXT_TO_LANG = {"py": "py", "rs": "rs", "cc": "cpp", "go": "go", "js": "js", "md": "md", "yml": "yaml"}
 
 
-def _str_slices(col: pa.ChunkedArray):
-    """Yield one memoryview (or None for null) per row of a string
-    column, straight off the Arrow buffers — NO Python str objects are
-    materialized. This matters: the CDC hot path is memory-bandwidth
-    bound, and ``to_pylist()`` on the wide ``content`` column would
-    copy+decode every byte a second time."""
-    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
-    for chunk in chunks:
-        bufs = chunk.buffers()
-        if pa.types.is_large_string(chunk.type):
-            offs = np.frombuffer(bufs[1], dtype=np.int64, offset=8 * chunk.offset,
-                                 count=len(chunk) + 1)
-        else:
-            offs = np.frombuffer(bufs[1], dtype=np.int32, offset=4 * chunk.offset,
-                                 count=len(chunk) + 1)
-        data = memoryview(bufs[2])
-        if chunk.null_count:
-            nulls = np.asarray(chunk.is_null())
-            for i in range(len(chunk)):
-                yield None if nulls[i] else data[offs[i] : offs[i + 1]]
-        else:
-            for i in range(len(chunk)):
-                yield data[offs[i] : offs[i + 1]]
+# canonical home is tenzir_ray.arrowutil; re-exported here because the
+# CDC kernels (and tests) historically import it from this module
+from tenzir_ray.arrowutil import str_slices as _str_slices  # noqa: E402
 
 
 def parse_events(batch: pa.Table, num_buckets: int) -> pa.Table:

@@ -403,27 +403,49 @@ def compile_scalar(expr: Union[str, Node]) -> Callable[[pa.Table], pa.Array]:
 # ---------------------------------------------------------------------------
 
 
-def to_dataset_filter(expr: Union[str, Node]) -> Optional[pads.Expression]:
+def to_dataset_filter(
+    expr: Union[str, Node], schema: Optional[pa.Schema] = None
+) -> Optional[pads.Expression]:
     """Convert a predicate AST to a ``pyarrow.dataset`` expression usable as
     ``ray.data.read_parquet(filter=...)`` for row-group pruning — the Ray
     analog of the reference's ``optimize()`` filter pushdown
     (``builtins/operators/where.cpp:109-117``). Returns None for
     constructs the dataset expression language cannot express
-    (struct paths, arithmetic on both sides, etc.)."""
+    (struct paths, arithmetic on both sides, etc.).
+
+    ``schema`` (e.g. from a parquet footer) enables literal coercion:
+    a string literal compared against a temporal column becomes a
+    typed scalar, so date predicates like ``ts <= "1998-09-02"`` still
+    prune row groups instead of falling back to a post-read filter."""
     node = parse(expr) if isinstance(expr, str) else expr
     try:
-        return _to_ds(node)
-    except (ValueError, TypeError, KeyError):
+        return _to_ds(node, schema)
+    except (ValueError, TypeError, KeyError, pa.ArrowInvalid):
         return None
 
 
-def _to_ds(node: Node) -> pads.Expression:
+def _coerce_ds_literal(field_name: str, value, schema: Optional[pa.Schema]):
+    """Type a bare literal against the schema (mirrors the temporal
+    string-literal cast the post-read evaluator applies)."""
+    if schema is None or not isinstance(value, str):
+        return value
+    idx = schema.get_field_index(field_name)
+    if idx < 0:
+        return value
+    t = schema.field(idx).type
+    if pa.types.is_temporal(t):
+        return pc.cast(pa.scalar(value), t)
+    return value
+
+
+def _to_ds(node: Node, schema: Optional[pa.Schema] = None) -> pads.Expression:
     if isinstance(node, Cmp):
         if not isinstance(node.lhs, Field) or len(node.lhs.path) != 1:
             raise ValueError("pushdown requires simple field on lhs")
         if not isinstance(node.rhs, Literal):
             raise ValueError("pushdown requires literal rhs")
-        f, v = pc.field(node.lhs.path[0]), node.rhs.value
+        f = pc.field(node.lhs.path[0])
+        v = _coerce_ds_literal(node.lhs.path[0], node.rhs.value, schema)
         if node.op == "in":
             return f.isin(v)
         if node.op == "not_in":
@@ -439,15 +461,15 @@ def _to_ds(node: Node) -> pads.Expression:
             ">=": f >= v,
         }[node.op]
     if isinstance(node, And):
-        out = _to_ds(node.parts[0])
+        out = _to_ds(node.parts[0], schema)
         for p in node.parts[1:]:
-            out = out & _to_ds(p)
+            out = out & _to_ds(p, schema)
         return out
     if isinstance(node, Or):
-        out = _to_ds(node.parts[0])
+        out = _to_ds(node.parts[0], schema)
         for p in node.parts[1:]:
-            out = out | _to_ds(p)
+            out = out | _to_ds(p, schema)
         return out
     if isinstance(node, Not):
-        return ~_to_ds(node.inner)
+        return ~_to_ds(node.inner, schema)
     raise ValueError(f"not pushdown-expressible: {node!r}")

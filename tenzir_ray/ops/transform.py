@@ -130,10 +130,27 @@ def replace(ds: Dataset, fields: Dict[str, Union[str, Node]]) -> Dataset:
 
 def _hash_column(values: pa.ChunkedArray, salt: str, algo: str) -> pa.Array:
     """Digest every value of a column. hashlib's C core does the work;
-    the per-row loop only feeds it bytes (no vectorized sha256 exists in
-    pyarrow)."""
+    the per-row loop only feeds it bytes. String/binary columns are
+    digested straight off the Arrow buffers (``arrowutil.str_slices`` —
+    no Python strings materialize); other types fall back to ``str``."""
+    from tenzir_ray.arrowutil import str_slices
+
     digest = getattr(hashlib, algo)
     salt_b = salt.encode()
+    vtype = values.type
+    if (
+        pa.types.is_string(vtype)
+        or pa.types.is_large_string(vtype)
+        or pa.types.is_binary(vtype)
+        or pa.types.is_large_binary(vtype)
+    ):
+        out = [
+            None if mv is None else digest(salt_b + bytes(mv)).hexdigest()
+            for mv in str_slices(values)
+        ] if salt_b else [
+            None if mv is None else digest(mv).hexdigest() for mv in str_slices(values)
+        ]
+        return pa.array(out, type=pa.string())
     out = []
     for chunk in values.chunks if isinstance(values, pa.ChunkedArray) else [values]:
         for v in chunk.to_pylist():
@@ -286,12 +303,12 @@ def taste(
     "first" deterministic (sort within group before taking n)."""
     keys = [by] if isinstance(by, str) else list(by)
 
-    def first_n(g):
+    def first_n(g: pa.Table) -> pa.Table:
         if order_by is not None:
-            g = g.sort_values(order_by, kind="stable")
-        return g.head(n)
+            g = g.take(pc.sort_indices(g, sort_keys=[(order_by, "ascending")]))
+        return g.slice(0, n)
 
-    return ds.groupby(keys).map_groups(first_n, batch_format="pandas")
+    return ds.groupby(keys).map_groups(first_n, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -321,15 +338,42 @@ def _dedup_consecutive(t: pa.Table) -> pa.Table:
 def unique(ds: Dataset, strict: bool = True) -> Dataset:
     """Remove *consecutive* duplicate events — NOT global dedup
     (reference: `unique`, ``builtins/operators/unique.cpp:18-108``).
-    ``strict=True`` coalesces to one ordered block first so duplicates
-    across block boundaries are caught (order-dependent semantics force
-    a serial pass, exactly like the reference's single-stream operator);
-    ``strict=False`` dedups within blocks only (scales, misses
-    boundary-straddling runs). Global exact dedup lives in
+
+    ``strict=True`` also catches duplicates straddling block
+    boundaries, WITHOUT serializing: each block dedups in parallel
+    against its own rows plus a 1-row slice of the nearest preceding
+    non-empty block (row i survives iff it differs from ORIGINAL row
+    i-1, so only single-row boundary slices cross tasks — the same
+    block-ref machinery as :func:`tail`). ``strict=False`` dedups
+    within blocks only. Global exact dedup lives in
     :mod:`tenzir_ray.dedup`."""
-    if strict:
-        ds = ds.repartition(1)
-    return ds.map_batches(_dedup_consecutive, **_PYARROW)
+    if not strict:
+        return ds.map_batches(_dedup_consecutive, **_PYARROW)
+
+    refs, counts = _block_refs_and_counts(ds)
+
+    @ray.remote(num_cpus=0.25)
+    def _last_row(t: pa.Table) -> pa.Table:
+        return t.slice(max(0, t.num_rows - 1))
+
+    @ray.remote
+    def _dedup_with_prev(t: pa.Table, prev_last) -> pa.Table:
+        if t.num_rows == 0 or prev_last is None or prev_last.num_rows == 0:
+            return _dedup_consecutive(t)
+        # prepend the predecessor's ORIGINAL last row as a sentinel;
+        # it always survives the neighbor-compare (row 0 is always
+        # kept), so slicing it off leaves exactly the surviving rows
+        combo = pa.concat_tables([prev_last, t])
+        return _dedup_consecutive(combo).slice(1)
+
+    out, prev = [], None
+    for ref, cnt in zip(refs, counts):
+        out.append(_dedup_with_prev.remote(ref, prev))
+        if cnt > 0:
+            prev = _last_row.remote(ref)
+    if not out:
+        return ds
+    return ray.data.from_arrow_refs(out)
 
 
 def enumerate_op(ds: Dataset, field: str = "#") -> Dataset:
@@ -362,9 +406,13 @@ def batch_op(ds: Dataset, n: int = 65536) -> Dataset:
     """Rebatch to a desired block size (reference: `batch`,
     ``builtins/operators/batch.cpp:24-88``; default 64 Ki =
     ``defaults.hpp:34``). In Ray Data block shaping is
-    ``repartition`` + the next stage's ``batch_size=``."""
-    total = ds.count()
-    return ds.repartition(max(1, total // n))
+    ``repartition`` + the next stage's ``batch_size=``. Materializes
+    ONCE and sizes the repartition from that execution's row count —
+    a bare ``ds.count()`` would run the whole upstream pipeline an
+    extra time just to size the blocks."""
+    mat = ds.materialize()
+    total = mat.count()  # metadata-only on a materialized dataset
+    return mat.repartition(max(1, total // n))
 
 
 def repeat(ds: Dataset, n: int) -> Dataset:
@@ -395,7 +443,8 @@ def pass_op(ds: Dataset) -> Dataset:
 
 def discard(ds: Dataset) -> None:
     """Consume and drop everything (reference: `discard`,
-    ``builtins/operators/discard.cpp``). Streams the dataset without
-    collecting it."""
-    for _ in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
-        pass
+    ``builtins/operators/discard.cpp``). The blocks are dropped INSIDE
+    the cluster tasks (map to empty + materialize the empty result) —
+    ``iter_batches`` would pull every block to the driver just to
+    throw it away."""
+    ds.map_batches(lambda t: t.slice(0, 0), **_PYARROW).materialize()

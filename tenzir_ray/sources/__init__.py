@@ -42,7 +42,26 @@ def read_parquet(
     filter — the predicate is ALWAYS applied, never silently dropped.
     Reference store: ``plugins/parquet/parquet.cpp:379-478``.
     """
-    flt = to_dataset_filter(predicate) if predicate is not None else None
+    flt = None
+    if predicate is not None:
+        # footer-only schema peek so temporal literals coerce and the
+        # predicate can prune row groups (no data read happens here)
+        schema = None
+        try:
+            import pyarrow.parquet as _pq
+
+            first = paths if isinstance(paths, str) else next(iter(paths))
+            import os as _os
+
+            if _os.path.isdir(first):
+                cand = sorted(
+                    f for f in _os.listdir(first) if f.endswith(".parquet")
+                )
+                first = _os.path.join(first, cand[0]) if cand else first
+            schema = _pq.read_schema(first)
+        except Exception:
+            schema = None
+        flt = to_dataset_filter(predicate, schema)
     ds = ray.data.read_parquet(
         paths, columns=list(columns) if columns else None, filter=flt, **kwargs
     )
