@@ -8,15 +8,15 @@ shape:
 - per-batch signature computation is vectorized ``map_batches``
   (numpy/hashlib-C kernels);
 - candidate generation is a ``groupby`` on a SMALL signature key
-  (hash / band bucket / hyperplane bucket) — the only shuffle, and it
-  moves signatures + ids, never the payload;
-- exact verification + canonical assignment runs per candidate group;
-- the final pass drops losers with a broadcast id-set filter
-  (``ray.put`` once, read per task — no second shuffle of the data).
-
-Union-find over candidate PAIRS runs on the driver — valid because
-LSH candidate sets are orders of magnitude smaller than the corpus
-(documented assumption; if candidates blow up, tighten bands).
+  (hash / band bucket / hyperplane bucket) — it moves signatures +
+  ids, never the payload;
+- exact verification runs DISTRIBUTED: in-bucket where the signature
+  suffices (simhash hamming, embedding cosine), or via a reduce-side
+  join of candidate pairs with task-side-extracted shingle sets
+  (MinHash) — the corpus is never scanned on the driver;
+- only VERIFIED edges reach the driver (bounded by the true
+  near-duplicate count, not the candidate count); union-find runs
+  there and losers broadcast back as one ``ray.put`` id set.
 """
 
 from __future__ import annotations
@@ -24,13 +24,15 @@ from __future__ import annotations
 import hashlib
 import re
 import zlib
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
+
+from tenzir_ray.arrowutil import str_slices
 
 # batch_size=None = one whole block per batch: every kernel here is
 # vectorized, so Ray's 1024-row default would only add per-batch overhead
@@ -40,6 +42,35 @@ _MERSENNE = (1 << 61) - 1
 _MAX_FULL_PAIR_BUCKET = 64
 
 
+def _collect_small(ds: Dataset) -> pa.Table:
+    """Gather a dataset KNOWN to be small (edge lists, metadata rows)
+    into one Arrow table on the driver."""
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return None
+    return pa.concat_tables(tables)
+
+
+def _drop_losers(ds: Dataset, id_col: str, losers: set, drop_cols: List[str]) -> Dataset:
+    """Broadcast the loser-id set once (``ray.put``) and filter it out
+    per task with a vectorized ``pc.is_in`` — no second shuffle of the
+    data."""
+    if losers:
+        loser_ref = ray.put(pa.array(list(losers)))
+    else:
+        loser_ref = None
+
+    def drop(t: pa.Table) -> pa.Table:
+        keep = [c for c in drop_cols if c in t.column_names]
+        if loser_ref is not None:
+            lose = ray.get(loser_ref)
+            mask = pc.invert(pc.fill_null(pc.is_in(t[id_col], value_set=lose), False))
+            t = t.filter(mask)
+        return t.drop_columns(keep) if keep else t
+
+    return ds.map_batches(drop, **_PYARROW)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -47,24 +78,45 @@ _MAX_FULL_PAIR_BUCKET = 64
 
 def dedup_exact(ds: Dataset, on: str, id_col: str) -> Dataset:
     """Global exact dedup: keep the min-``id_col`` row per distinct
-    ``on`` value. hash-partition + per-group first (SURVEY.md §2.5);
-    the shuffle key is the sha256 of the value, so arbitrarily large
-    payloads shuffle as 32-byte keys + rows."""
+    ``on`` value (SURVEY.md §2.5 hash-partition + per-group first).
 
-    def add_hash(t: pa.Table) -> pa.Table:
-        h = [
-            None if v is None else hashlib.sha256(str(v).encode()).hexdigest()
-            for v in t[on].to_pylist()
-        ]
-        return t.append_column("__h", pa.array(h, type=pa.string()))
+    Scale shape: ONLY ``(sha256, id)`` pairs shuffle — the payload
+    column never moves. Per-hash losers (everything but the min id)
+    come back as a small id list and broadcast-filter the original
+    dataset. Driver memory holds loser ids only (the duplicate count,
+    not the corpus)."""
 
-    def first(g: pa.Table) -> pa.Table:
-        i = pc.index(g[id_col], pc.min(g[id_col]))
-        return g.take(pa.array([i.as_py()])).drop_columns(["__h"])
+    def key_id(t: pa.Table) -> pa.Table:
+        col = t[on]
+        vt = col.type
+        if (
+            pa.types.is_string(vt) or pa.types.is_large_string(vt)
+            or pa.types.is_binary(vt) or pa.types.is_large_binary(vt)
+        ):
+            hs = [
+                None if mv is None else hashlib.sha256(mv).hexdigest()
+                for mv in str_slices(col)
+            ]
+        else:
+            hs = [
+                None if v is None else hashlib.sha256(str(v).encode()).hexdigest()
+                for v in col.to_pylist()
+            ]
+        return pa.table({"__h": pa.array(hs, type=pa.string()), id_col: t[id_col]})
 
-    return ds.map_batches(add_hash, **_PYARROW).groupby("__h").map_groups(
-        first, batch_format="pyarrow"
+    def losers(g: pa.Table) -> pa.Table:
+        ids = g[id_col]
+        if g.num_rows < 2:
+            return pa.table({id_col: ids.slice(0, 0)})
+        mn = pc.min(ids)
+        return pa.table({id_col: ids.filter(pc.not_equal(ids, mn))})
+
+    lose_ds = ds.map_batches(key_id, **_PYARROW).groupby("__h").map_groups(
+        losers, batch_format="pyarrow"
     )
+    lose_tbl = _collect_small(lose_ds)
+    lose = set(lose_tbl[id_col].to_pylist()) if lose_tbl is not None else set()
+    return _drop_losers(ds, id_col, lose, [])
 
 
 # ---------------------------------------------------------------------------
@@ -73,7 +125,8 @@ def dedup_exact(ds: Dataset, on: str, id_col: str) -> Dataset:
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Character k-shingle crc32 hashes (C-speed) of normalized text."""
+    """Character k-shingle crc32 hashes (C-speed) of normalized text,
+    sorted unique (``np.unique``)."""
     t = re.sub(r"\s+", " ", text.lower()).strip()
     if len(t) < k:
         return np.array([zlib.crc32(t.encode())], dtype=np.uint64)
@@ -124,19 +177,21 @@ def minhash_bands(batch: pa.Table, id_col: str, bands: int, num_perm: int) -> pa
     follows never shuffles document payloads."""
     sigs = np.asarray(batch["__minhash"].combine_chunks().flatten()).reshape(-1, num_perm)
     rows_per = num_perm // bands
-    ids = batch[id_col].to_numpy(zero_copy_only=False)
-    out_band, out_hash, out_id = [], [], []
+    ids = (
+        batch[id_col].combine_chunks()
+        if isinstance(batch[id_col], pa.ChunkedArray)
+        else batch[id_col]
+    )
+    out_band, out_hash = [], []
     for b in range(bands):
         chunk = np.ascontiguousarray(sigs[:, b * rows_per : (b + 1) * rows_per])
-        hashes = [zlib.crc32(chunk[i].tobytes()) for i in range(len(ids))]
+        out_hash.extend(zlib.crc32(chunk[i].tobytes()) for i in range(len(ids)))
         out_band.extend([b] * len(ids))
-        out_hash.extend(hashes)
-        out_id.extend(ids.tolist())
     return pa.table(
         {
             "band": pa.array(out_band, type=pa.int32()),
             "bhash": pa.array(out_hash, type=pa.int64()),
-            id_col: pa.array(out_id),
+            id_col: pa.concat_arrays([ids] * bands),
         }
     )
 
@@ -166,6 +221,14 @@ def jaccard(a: str, b: str, k: int = 5) -> float:
     return len(sa & sb) / max(1, len(sa | sb))
 
 
+def _jaccard_sorted(x: np.ndarray, y: np.ndarray) -> float:
+    """Jaccard of two sorted-unique uint64 shingle arrays."""
+    if x.size == 0 and y.size == 0:
+        return 1.0
+    inter = np.intersect1d(x, y, assume_unique=True).size
+    return inter / max(1, x.size + y.size - inter)
+
+
 def dedup_minhash_lsh(
     ds: Dataset,
     text_col: str,
@@ -178,12 +241,24 @@ def dedup_minhash_lsh(
     verify: bool = True,
 ) -> Dataset:
     """MinHash+LSH near-dedup: shingle → minhash (actor pool) → band →
-    bucket groupby → candidate pairs → exact n-gram Jaccard verify →
-    drop non-canonical members. Returns the deduplicated dataset.
+    bucket groupby → candidate pairs → DISTRIBUTED exact n-gram Jaccard
+    verify → drop non-canonical members. Returns the deduplicated
+    dataset.
 
-    Scale notes: only (band, hash, id) triples shuffle; texts for
-    verification are fetched per candidate pair from a broadcast
-    id→text map built from candidate ids ONLY."""
+    Scale shape (nothing here scans the corpus on the driver):
+
+    1. only (band, hash, id) triples shuffle for candidate generation;
+    2. the candidate-id set (ids only) broadcasts via ``ray.put``;
+       shingle sets for THOSE docs are extracted task-side inside
+       ``map_batches`` over the already-materialized hashed dataset;
+    3. pair verification is a reduce-side join: pair rows keyed by
+       ``a`` union shingle rows keyed by id → groupby → attach
+       ``sh_a`` (duplicate pairs from different bands collapse here,
+       before any verification work) → rekey by ``b`` → groupby →
+       jaccard — all in tasks, shuffling only candidate ids + shingle
+       sets;
+    4. only verified edges (≈ true near-duplicates) reach the driver
+       for union-find; losers broadcast back as one id set."""
     num_cpus_total = int(ray.cluster_resources().get("CPU", 4))
     # autoscaling pool: spawn 1, grow toward cpu/4 only if the input
     # actually has enough batches (small corpora stay spawn-cheap)
@@ -197,6 +272,8 @@ def dedup_minhash_lsh(
         num_cpus=0.5,
         **{**_PYARROW, "batch_size": 256},
     ).materialize()
+    id_type = hashed.schema().base_schema.field(id_col).type
+    sh_type = pa.list_(pa.uint64())
 
     triples = hashed.map_batches(
         lambda t: minhash_bands(t, id_col, bands, num_perm), **_PYARROW
@@ -205,7 +282,7 @@ def dedup_minhash_lsh(
     def emit_pairs(g: pa.Table) -> pa.Table:
         ids = sorted(g[id_col].to_pylist())
         if len(ids) < 2:
-            return pa.table({"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())})
+            return pa.table({"a": pa.array([], type=id_type), "b": pa.array([], type=id_type)})
         # ALL within-bucket pairs: star-linking only to the min id loses
         # true duplicate pairs whenever the min-id member is a minhash
         # false positive. Quadratic blowup is capped: oversized buckets
@@ -220,45 +297,182 @@ def dedup_minhash_lsh(
         else:
             a_out = [ids[0]] * (len(ids) - 1)
             b_out = ids[1:]
-        return pa.table({"a": pa.array(a_out, type=pa.int64()), "b": pa.array(b_out, type=pa.int64())})
+        return pa.table({"a": pa.array(a_out, type=id_type), "b": pa.array(b_out, type=id_type)})
 
-    pairs_tbl = (
+    # pairs feed BOTH the candidate-id pass and join leg 1 — pin once
+    pairs = (
         triples.groupby(["band", "bhash"])
         .map_groups(emit_pairs, batch_format="pyarrow")
-        .to_pandas()
-        .drop_duplicates()
+        .materialize()
     )
-    pairs = list(pairs_tbl.itertuples(index=False, name=None))
 
-    if verify and pairs:
-        cand_ids = {i for p in pairs for i in p}
-        texts = {}
-        for b in hashed.iter_batches(batch_format="pyarrow"):
-            for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
-                if i in cand_ids:
-                    texts[i] = t
-        # shingle each candidate ONCE (a doc appears in many pairs;
-        # recomputing per pair made verification O(pairs * doclen))
-        shingles = {i: set(_shingle_hashes(texts[i] or "", shingle_k)) for i in cand_ids}
+    if not verify:
+        pair_tbl = _collect_small(pairs)
+        edges = (
+            set(zip(pair_tbl["a"].to_pylist(), pair_tbl["b"].to_pylist()))
+            if pair_tbl is not None
+            else set()
+        )
+        return _finish_drop(hashed, id_col, edges, ["__minhash"])
 
-        def _jaccard_cached(a, b) -> float:
-            sa, sb = shingles[a], shingles[b]
-            if not sa and not sb:
-                return 1.0
-            return len(sa & sb) / max(1, len(sa | sb))
+    # --- distributed verification ------------------------------------------
+    # candidate-id set: ids only, broadcast once
+    def _pair_ids(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks() if isinstance(t["a"], pa.ChunkedArray) else t["a"]
+        b = t["b"].combine_chunks() if isinstance(t["b"], pa.ChunkedArray) else t["b"]
+        return pa.table({id_col: pa.concat_arrays([a, b])})
 
-        pairs = [p for p in pairs if _jaccard_cached(p[0], p[1]) >= threshold]
+    cand_tbl = _collect_small(pairs.map_batches(_pair_ids, **_PYARROW))
+    if cand_tbl is None:
+        return _finish_drop(hashed, id_col, set(), ["__minhash"])
+    cand_ref = ray.put(set(cand_tbl[id_col].to_pylist()))
 
-    roots = _union_find(pairs)
+    # task-side shingle extraction for candidate docs ONLY
+    def extract_shingles(t: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        mask = pa.array([i in cand for i in t[id_col].to_pylist()])
+        sub = t.filter(mask)
+        sh = [
+            _shingle_hashes(x or "", shingle_k) if x else np.array([], dtype=np.uint64)
+            for x in sub[text_col].to_pylist()
+        ]
+        return pa.table(
+            {
+                id_col: sub[id_col],
+                "__sh": pa.array([s.tolist() for s in sh], type=sh_type),
+            }
+        )
+
+    # consumed by both join legs — pin once (candidates only, small)
+    cand_sh = hashed.map_batches(extract_shingles, **_PYARROW).materialize()
+
+    # reduce-side join, leg 1: attach sh_a (keyed by a)
+    join_schema = pa.schema(
+        [("__jk", id_type), ("a", id_type), ("b", id_type), ("__sh", sh_type)]
+    )
+
+    def pairs_keyed_a(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "__jk": t["a"],
+                "a": t["a"],
+                "b": t["b"],
+                "__sh": pa.nulls(t.num_rows, type=sh_type),
+            },
+            schema=join_schema,
+        )
+
+    def shingles_keyed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "__jk": t[id_col],
+                "a": pa.nulls(t.num_rows, type=id_type),
+                "b": pa.nulls(t.num_rows, type=id_type),
+                "__sh": t["__sh"],
+            },
+            schema=join_schema,
+        )
+
+    leg1 = pairs.map_batches(pairs_keyed_a, **_PYARROW).union(
+        cand_sh.map_batches(shingles_keyed, **_PYARROW)
+    )
+
+    out1_schema = pa.schema([("a", id_type), ("b", id_type), ("__sha", sh_type)])
+
+    def attach_a(g: pa.Table) -> pa.Table:
+        is_pair = pc.is_valid(g["a"])
+        pr = g.filter(is_pair)
+        sh_rows = g.filter(pc.invert(is_pair))
+        if pr.num_rows == 0 or sh_rows.num_rows == 0:
+            return out1_schema.empty_table()
+        # duplicate pairs from different LSH bands collapse here, BEFORE
+        # any jaccard work
+        seen = set()
+        keep = []
+        bs = pr["b"].to_pylist()
+        for i, b in enumerate(bs):
+            if b not in seen:
+                seen.add(b)
+                keep.append(i)
+        pr = pr.take(pa.array(keep, type=pa.int64()))
+        sh = sh_rows["__sh"][0].as_py()
+        return pa.table(
+            {
+                "a": pr["a"],
+                "b": pr["b"],
+                "__sha": pa.array([sh] * pr.num_rows, type=sh_type),
+            },
+            schema=out1_schema,
+        )
+
+    with_sha = leg1.groupby("__jk").map_groups(attach_a, batch_format="pyarrow")
+
+    # leg 2: attach sh_b (keyed by b) + verify
+    join2_schema = pa.schema(
+        [("__jk", id_type), ("a", id_type), ("b", id_type), ("__sha", sh_type), ("__sh", sh_type)]
+    )
+
+    def pairs_keyed_b(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "__jk": t["b"],
+                "a": t["a"],
+                "b": t["b"],
+                "__sha": t["__sha"],
+                "__sh": pa.nulls(t.num_rows, type=sh_type),
+            },
+            schema=join2_schema,
+        )
+
+    def shingles_keyed2(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "__jk": t[id_col],
+                "a": pa.nulls(t.num_rows, type=id_type),
+                "b": pa.nulls(t.num_rows, type=id_type),
+                "__sha": pa.nulls(t.num_rows, type=sh_type),
+                "__sh": t["__sh"],
+            },
+            schema=join2_schema,
+        )
+
+    leg2 = with_sha.map_batches(pairs_keyed_b, **_PYARROW).union(
+        cand_sh.map_batches(shingles_keyed2, **_PYARROW)
+    )
+
+    edge_schema = pa.schema([("a", id_type), ("b", id_type)])
+
+    def verify_pairs(g: pa.Table) -> pa.Table:
+        is_pair = pc.is_valid(g["a"])
+        pr = g.filter(is_pair)
+        sh_rows = g.filter(pc.invert(is_pair))
+        if pr.num_rows == 0 or sh_rows.num_rows == 0:
+            return edge_schema.empty_table()
+        sh_b = np.asarray(sh_rows["__sh"][0].as_py(), dtype=np.uint64)
+        keep = [
+            i
+            for i, sha in enumerate(pr["__sha"].to_pylist())
+            if _jaccard_sorted(np.asarray(sha, dtype=np.uint64), sh_b) >= threshold
+        ]
+        pr = pr.take(pa.array(keep, type=pa.int64()))
+        return pa.table({"a": pr["a"], "b": pr["b"]}, schema=edge_schema)
+
+    verified = leg2.groupby("__jk").map_groups(verify_pairs, batch_format="pyarrow")
+
+    edge_tbl = _collect_small(verified)
+    edges = (
+        set(zip(edge_tbl["a"].to_pylist(), edge_tbl["b"].to_pylist()))
+        if edge_tbl is not None
+        else set()
+    )
+    return _finish_drop(hashed, id_col, edges, ["__minhash"])
+
+
+def _finish_drop(hashed: Dataset, id_col: str, edges: set, drop_cols: List[str]) -> Dataset:
+    """Union-find over the (verified, small) edge list → drop losers."""
+    roots = _union_find(list(edges))
     losers = {x for x, r in roots.items() if r != x}
-    loser_ref = ray.put(losers)
-
-    def drop_losers(t: pa.Table) -> pa.Table:
-        lose = ray.get(loser_ref)
-        mask = [i not in lose for i in t[id_col].to_pylist()]
-        return t.filter(pa.array(mask)).drop_columns(["__minhash"])
-
-    return hashed.map_batches(drop_losers, **_PYARROW)
+    return _drop_losers(hashed, id_col, losers, drop_cols)
 
 
 # ---------------------------------------------------------------------------
@@ -294,9 +508,15 @@ def dedup_simhash(
     ds: Dataset, text_col: str, id_col: str, *, max_hamming: int = 3, prefix_bits: int = 16
 ) -> Dataset:
     """SimHash near-dedup: 64-bit simhash (actor pool) → bucket by
-    4 rotated ``prefix_bits`` prefixes (a doc pair within hamming
-    distance k collides on ≥1 prefix w.h.p.) → within-bucket hamming
-    verify → union-find → drop losers."""
+    4 rotated 16-bit windows (a pair within hamming distance ≤3 shares
+    at least one window by pigeonhole — EXACT recall for the default
+    radius) → within-bucket hamming verify (only 8-byte hashes + ids
+    shuffle) → verified edges to the driver → union-find → drop losers.
+
+    Verified edges ≈ true near-duplicates, so the driver collection is
+    bounded by the duplicate count, not the candidate count; degenerate
+    buckets (identical simhashes) fall back to star edges, which for
+    hamming-0 floods is exact AND linear."""
     num_cpus_total = int(ray.cluster_resources().get("CPU", 4))
     hashed = ds.map_batches(
         SimHasher,
@@ -305,10 +525,11 @@ def dedup_simhash(
         num_cpus=0.5,
         **{**_PYARROW, "batch_size": 256},
     ).materialize()
+    id_type = hashed.schema().base_schema.field(id_col).type
 
     def emit_buckets(t: pa.Table) -> pa.Table:
         hs = t["__simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        ids = t[id_col].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_pylist()
         rots, buckets, out_ids, out_hs = [], [], [], []
         for r in range(4):
             rot = np.bitwise_or(
@@ -316,13 +537,13 @@ def dedup_simhash(
             ) if r else hs
             rots.extend([r] * len(ids))
             buckets.extend((rot >> np.uint64(64 - prefix_bits)).tolist())
-            out_ids.extend(ids.tolist())
+            out_ids.extend(ids)
             out_hs.extend(hs.tolist())
         return pa.table(
             {
                 "rot": pa.array(rots, type=pa.int32()),
                 "bucket": pa.array(np.array(buckets, dtype=np.uint64)),
-                id_col: pa.array(out_ids),
+                id_col: pa.array(out_ids, type=id_type),
                 "h": pa.array(np.array(out_hs, dtype=np.uint64)),
             }
         )
@@ -331,31 +552,36 @@ def dedup_simhash(
         ids = g[id_col].to_pylist()
         hs = g["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
         a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if bin(int(hs[i]) ^ int(hs[j])).count("1") <= max_hamming:
-                    a, b = sorted((ids[i], ids[j]))
-                    a_out.append(a)
-                    b_out.append(b)
-        return pa.table({"a": pa.array(a_out, type=pa.int64()), "b": pa.array(b_out, type=pa.int64())})
+        if len(ids) <= _MAX_FULL_PAIR_BUCKET:
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if bin(int(hs[i]) ^ int(hs[j])).count("1") <= max_hamming:
+                        a, b = sorted((ids[i], ids[j]))
+                        a_out.append(a)
+                        b_out.append(b)
+        else:
+            # degenerate bucket (usually identical hashes): star-verify
+            # against the min id — linear, and exact for hamming-0 floods
+            order = sorted(range(len(ids)), key=lambda i: ids[i])
+            root = order[0]
+            for j in order[1:]:
+                if bin(int(hs[root]) ^ int(hs[j])).count("1") <= max_hamming:
+                    a_out.append(ids[root])
+                    b_out.append(ids[j])
+        return pa.table({"a": pa.array(a_out, type=id_type), "b": pa.array(b_out, type=id_type)})
 
-    pairs_df = (
+    verified = (
         hashed.map_batches(emit_buckets, **_PYARROW)
         .groupby(["rot", "bucket"])
         .map_groups(pairs_in_bucket, batch_format="pyarrow")
-        .to_pandas()
-        .drop_duplicates()
     )
-    roots = _union_find(list(pairs_df.itertuples(index=False, name=None)))
-    losers = {x for x, r in roots.items() if r != x}
-    loser_ref = ray.put(losers)
-
-    def drop_losers(t: pa.Table) -> pa.Table:
-        lose = ray.get(loser_ref)
-        mask = [i not in lose for i in t[id_col].to_pylist()]
-        return t.filter(pa.array(mask)).drop_columns(["__simhash"])
-
-    return hashed.map_batches(drop_losers, **_PYARROW)
+    edge_tbl = _collect_small(verified)
+    edges = (
+        set(zip(edge_tbl["a"].to_pylist(), edge_tbl["b"].to_pylist()))
+        if edge_tbl is not None
+        else set()
+    )
+    return _finish_drop(hashed, id_col, edges, ["__simhash"])
 
 
 # ---------------------------------------------------------------------------
@@ -373,12 +599,17 @@ def dedup_embedding(
     seed: int = 11,
 ) -> Dataset:
     """Embedding near-dedup: random-hyperplane LSH bucket (cosine
-    SimHash) → within-bucket pairwise cosine ≥ threshold → union-find →
-    drop losers. Bucketing keeps the pairwise O(n²) inside small
-    buckets; the hyperplanes are seeded so every task derives the SAME
-    projection."""
+    SimHash) → within-bucket pairwise cosine ≥ threshold (verification
+    happens IN the bucket tasks; only verified edges leave) →
+    union-find → drop losers. The hyperplanes are seeded so every task
+    derives the SAME projection. ``num_planes=0`` disables bucketing
+    (exact all-pairs — small inputs / oracle mode)."""
 
     def add_bucket(t: pa.Table) -> pa.Table:
+        if num_planes <= 0:
+            return t.append_column(
+                "__bucket", pa.array(np.zeros(t.num_rows, dtype=np.int64))
+            )
         vecs = np.stack(t[vec_col].to_pandas().to_numpy())
         dim = vecs.shape[1]
         planes = np.random.default_rng(seed).normal(size=(dim, num_planes))
@@ -388,6 +619,8 @@ def dedup_embedding(
         weights = (1 << np.arange(bits.shape[1], dtype=np.int64))
         bucket = (bits.astype(np.int64) * weights).sum(axis=1)
         return t.append_column("__bucket", pa.array(bucket))
+
+    id_type = ds.schema().base_schema.field(id_col).type
 
     def pairs_in_bucket(g: pa.Table) -> pa.Table:
         ids = g[id_col].to_pylist()
@@ -401,22 +634,17 @@ def dedup_embedding(
                 a, b = sorted((ids[i], ids[j]))
                 a_out.append(a)
                 b_out.append(b)
-        return pa.table({"a": pa.array(a_out, type=pa.int64()), "b": pa.array(b_out, type=pa.int64())})
+        return pa.table({"a": pa.array(a_out, type=id_type), "b": pa.array(b_out, type=id_type)})
 
-    pairs_df = (
+    verified = (
         ds.map_batches(add_bucket, **_PYARROW)
         .groupby("__bucket")
         .map_groups(pairs_in_bucket, batch_format="pyarrow")
-        .to_pandas()
-        .drop_duplicates()
     )
-    roots = _union_find(list(pairs_df.itertuples(index=False, name=None)))
-    losers = {x for x, r in roots.items() if r != x}
-    loser_ref = ray.put(losers)
-
-    def drop_losers(t: pa.Table) -> pa.Table:
-        lose = ray.get(loser_ref)
-        mask = [i not in lose for i in t[id_col].to_pylist()]
-        return t.filter(pa.array(mask))
-
-    return ds.map_batches(drop_losers, **_PYARROW)
+    edge_tbl = _collect_small(verified)
+    edges = (
+        set(zip(edge_tbl["a"].to_pylist(), edge_tbl["b"].to_pylist()))
+        if edge_tbl is not None
+        else set()
+    )
+    return _finish_drop(ds, id_col, edges, [])

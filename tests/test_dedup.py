@@ -67,3 +67,28 @@ def test_dedup_embedding():
     out = dedup.dedup_embedding(ray.data.from_arrow(t), "embedding", "vec_id", threshold=0.99)
     ids = sorted(r["vec_id"] for r in out.to_pandas().to_dict("records"))
     assert ids == [0, 2, 3]  # 1 is a near-dup of 0
+
+
+def test_dedup_with_string_ids():
+    """Non-integer id columns must work end-to-end (pair emitters used
+    to hardcode int64 and raised ArrowInvalid on string ids)."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running through the field "
+        "while the sun sets slowly behind distant mountains in the golden evening light"
+    )
+    texts = [base, base, base.replace("golden", "amber"),
+             "completely different content about database systems and query planning"]
+    ids = [f"doc-{i}" for i in range(len(texts))]
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+
+    out = dedup.dedup_minhash_lsh(ds, "text", "doc_id", threshold=0.7)
+    kept = sorted(r["doc_id"] for r in out.take_all())
+    assert "doc-0" in kept and "doc-1" not in kept and "doc-3" in kept
+
+    out = dedup.dedup_simhash(ds, "text", "doc_id", max_hamming=3)
+    kept = sorted(r["doc_id"] for r in out.take_all())
+    assert "doc-0" in kept and "doc-1" not in kept
+
+    out = dedup.dedup_exact(ds, on="text", id_col="doc_id")
+    kept = sorted(r["doc_id"] for r in out.take_all())
+    assert kept == ["doc-0", "doc-2", "doc-3"]
