@@ -93,23 +93,27 @@ def entry() -> Any:
     return Lake(_ENTRY_LAKE).read()
 
 
+_QUERY_BINLOG = "/tmp/tzr_q_binlog"
+_QUERY_BINLOG_KW = dict(
+    n_events=12_000, n_repos=30, paths_per_repo=30,
+    shard_events=3_000, content_median=128, evolution_offset=9_000,
+)
+
+
 def _cdc_replay_query(sf_dir: str) -> Any:
-    """CDC golden replay as a queries() entry (rows-only check here;
-    the full per-row sha256 parity vs the DuckDB oracle is asserted in
-    tests/test_cdc.py)."""
+    """CDC golden replay as a queries() entry; oracle_sql() carries the
+    single-pass DuckDB LWW materialization of the SAME deterministic
+    binlog, so the driver hash-compares full row content (per-row
+    sha256 parity is additionally asserted in tests/test_cdc.py)."""
     import shutil
 
     from tenzir_ray.cdc.engine import replay
     from tenzir_ray.cdc.lake import Lake
 
-    binlog = "/tmp/tzr_q_binlog"
     lake = "/tmp/tzr_q_lake"
-    _ensure_binlog(
-        binlog, n_events=12_000, n_repos=30, paths_per_repo=30,
-        shard_events=3_000, content_median=128, evolution_offset=9_000,
-    )
+    _ensure_binlog(_QUERY_BINLOG, **_QUERY_BINLOG_KW)
     shutil.rmtree(lake, ignore_errors=True)
-    replay(binlog, lake, num_buckets=16, chunk_shards=2)
+    replay(_QUERY_BINLOG, lake, num_buckets=16, chunk_shards=2)
     t = Lake(lake).to_arrow()
     return t.sort_by([("repo", "ascending"), ("path", "ascending")])
 
@@ -536,6 +540,184 @@ _W = r"len(regexp_extract_all(text, '\S+'))"
 _P = r"len(regexp_extract_all(text, '[^\w\s]'))"
 _S = r"len(regexp_extract_all(text, '(?i)\b(?:the|and|of|to|a|in|is|that|it|for)\b'))"
 
+# ---------------------------------------------------------------------------
+# synthesized oracles (tenzir_ray.naive reference implementations → SQL)
+#
+# The keyed-PRF / hyperplane / bit-sketch pipelines have no native SQL
+# expression, so their oracles are INDEPENDENT single-process NumPy
+# implementations of the same published algorithms (tenzir_ray/naive.py
+# — all-pairs, no Ray, no shared code with the operators) whose results
+# are embedded into runnable SQL. Loser lists are keyed by an
+# order-independent content probe (sum of per-row hashes) so the SQL
+# binds to the EXACT table the driver registered: on an unrecognized
+# corpus the guard yields zero rows — a loud rows_match failure, never
+# a silent pass.
+# ---------------------------------------------------------------------------
+
+_ORACLE_SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+_synth_cache: dict[str, str] = {}
+
+
+def _probe_expr(table: str, col: str) -> str:
+    """Order-independent corpus fingerprint: sum of per-row value
+    hashes (DuckDB sum→hugeint, exact; hash() stable per version)."""
+    return f"(SELECT sum(hash(CAST({col} AS VARCHAR))) FROM {table})"
+
+
+def _probe_value(parquet: str, table: str, col: str) -> int:
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW {table} AS SELECT * FROM read_parquet('{parquet}')")
+    return int(con.execute(_probe_expr(table, col).strip("()")).fetchone()[0])
+
+
+def _inlist_oracle(table: str, id_col: str, probe_col: str,
+                   branches: dict[int, set]) -> str:
+    """Survivor query: all ids minus the per-probe loser list; rows
+    only when the live probe matches a known corpus."""
+    probe = _probe_expr(table, probe_col)
+    rows = [f"({p}, -1)" for p in branches]  # sentinel: ids are >= 0
+    rows += [f"({p}, {i})" for p, losers in branches.items() for i in sorted(losers)]
+    probes = ", ".join(str(p) for p in branches)
+    return f"""
+        SELECT {id_col} FROM {table}
+        WHERE {probe} IN ({probes})
+          AND {id_col} NOT IN (
+            SELECT l FROM (VALUES {', '.join(rows)}) t(p, l) WHERE p = {probe})
+    """
+
+
+def _simhash_oracle() -> str:
+    if "simhash" not in _synth_cache:
+        from tenzir_ray import naive
+
+        branches = {
+            _probe_value(f"{sf}/documents.parquet", "documents", "text"):
+                naive.simhash_losers(f"{sf}/documents.parquet", max_hamming=2)
+            for sf in _ORACLE_SFS
+        }
+        _synth_cache["simhash"] = _inlist_oracle("documents", "doc_id", "text", branches)
+    return _synth_cache["simhash"]
+
+
+def _embedding_oracle() -> str:
+    if "embedding" not in _synth_cache:
+        from tenzir_ray import naive
+
+        branches = {
+            _probe_value(f"{sf}/embeddings.parquet", "embeddings", "embedding"):
+                naive.embedding_losers(f"{sf}/embeddings.parquet", threshold=0.999)
+            for sf in _ORACLE_SFS
+        }
+        _synth_cache["embedding"] = _inlist_oracle("embeddings", "vec_id", "embedding", branches)
+    return _synth_cache["embedding"]
+
+
+def _pseudonymize_oracle() -> str:
+    """Keyed-PRF Crypto-PAn has no SQL form; the naive reference
+    computes the full user_id→pseudonym map (ids 0..1499 cover every
+    SF's domain) embedded as a VALUES join — SF-independent because
+    the pseudonym depends only on user_id."""
+    if "pan" not in _synth_cache:
+        from tenzir_ray import naive
+
+        rows = ", ".join(
+            f"({u}, '{naive.pan_pseudonym(f'10.0.{u // 256}.{u % 256}', seed='bench')}')"
+            for u in range(1500)
+        )
+        _synth_cache["pan"] = f"""
+            SELECT e.event_id, e.user_id, m.ip
+            FROM events e JOIN (VALUES {rows}) m(uid, ip) ON e.user_id = m.uid
+        """
+    return _synth_cache["pan"]
+
+
+def _cdc_oracle() -> str:
+    """Single-pass DuckDB LWW materialization of the deterministic
+    query binlog (mirrors tenzir_ray/cdc/oracle.py::materialize,
+    evolved schema): per (repo, path) the max-(commit_seq, offset)
+    event, tombstones dropped, lang enriched, sha256 stamped."""
+    from tenzir_ray.cdc.oracle import _LANG_CASE
+
+    _ensure_binlog(_QUERY_BINLOG, **_QUERY_BINLOG_KW)
+    return f"""
+        SELECT repo, path, commit, coalesce(lang, {_LANG_CASE}) AS lang,
+               content, commit_seq, sha256(content) AS content_sha256,
+               branch, size_bytes
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY repo, path ORDER BY commit_seq DESC, "offset" DESC
+            ) AS rn
+            FROM read_parquet('{_QUERY_BINLOG}/part-*.parquet', union_by_name=true)
+        )
+        WHERE rn = 1 AND op <> 'delete'
+        ORDER BY repo, path
+    """
+
+
+# exact shingle-level Jaccard (k=5 over whitespace-normalized lowered
+# text) + recursive-CTE connected components, min-id winner per
+# component — the LSH pipeline's exact counterpart (validated equal at
+# sf0.001/0.01/0.1)
+_MINHASH_ORACLE = r"""
+    WITH RECURSIVE norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             substr(t, CAST(unnest(range(1, greatest(len(t) - 4, 1) + 1)) AS INT), 5) AS s
+      FROM norm
+    ),
+    cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT u, v FROM inter
+      JOIN cnt ca ON ca.doc_id = u JOIN cnt cb ON cb.doc_id = v
+      WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.8
+    ),
+    bi AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT b.v, reach.r FROM reach JOIN bi b ON b.u = reach.id
+    ),
+    roots AS (SELECT id, min(r) AS root FROM reach GROUP BY id)
+    SELECT doc_id FROM documents JOIN roots ON doc_id = roots.id
+    WHERE doc_id = roots.root
+"""
+
+# stopword-profile language ID — the same heuristic as text.LangId in
+# pure SQL: first 400 lowered word tokens, per-language stopword hit
+# counts, first-max-wins argmax (en > de > fr > es on ties)
+_LANG_ID_ORACLE = r"""
+    WITH w AS (
+      SELECT doc_id, text,
+             list_slice(regexp_extract_all(lower(text), '[a-zàâéèêëïîôùûüöäßñ]+'), 1, 400) AS words
+      FROM documents
+    ), s AS (
+      SELECT doc_id, text, len(words) AS nw,
+        len(list_filter(words, x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS s_en,
+        len(list_filter(words, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','den','zu'))) AS s_de,
+        len(list_filter(words, x -> x IN ('le','la','les','et','est','un','une','des','que','pour'))) AS s_fr,
+        len(list_filter(words, x -> x IN ('el','la','los','y','es','un','una','de','que','por'))) AS s_es
+      FROM w
+    )
+    SELECT doc_id, CASE
+        WHEN text IS NULL OR len(text) = 0 THEN NULL
+        WHEN nw = 0 THEN NULL
+        WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+        WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred
+    FROM s
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     bpe_re = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
@@ -709,10 +891,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, date_trunc('hour', ts) AS ts, count(*) AS n
             FROM events GROUP BY 1, 2
         """,
-        # lang_id_docs / dedup_minhash_docs / dedup_simhash_docs /
-        # dedup_embedding_vecs / ann_ivf_top10 / cdc_replay /
-        # pseudonymize_ips are not SQL-expressible (stateful /
-        # approximate / multi-stage / keyed-PRF); the driver records
-        # rows-only checks, and tests/test_cdc.py holds the strong CDC
-        # parity gate.
+        "lang_id_docs": _LANG_ID_ORACLE,
+        "dedup_minhash_docs": _MINHASH_ORACLE,
+        "dedup_simhash_docs": _simhash_oracle(),
+        "dedup_embedding_vecs": _embedding_oracle(),
+        "pseudonymize_ips": _pseudonymize_oracle(),
+        "cdc_replay": _cdc_oracle(),
+        # ann_ivf with nprobe == n_lists probes every list → exact
+        # top-k; its oracle is the brute-force SQL (equality verified
+        # at sf0.001/0.01)
+        "ann_ivf_top10": f"""
+            WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+            SELECT row_number() OVER (
+                       ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                                e.vec_id ASC) - 1 AS rank,
+                   e.vec_id,
+                   {_sqlr("list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[])", 4)} AS score
+            FROM embeddings e, q
+            ORDER BY rank LIMIT 10
+        """,
     }

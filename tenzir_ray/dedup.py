@@ -38,7 +38,6 @@ from tenzir_ray.arrowutil import str_slices
 # vectorized, so Ray's 1024-row default would only add per-batch overhead
 _PYARROW = dict(batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
-_MERSENNE = (1 << 61) - 1
 _MAX_FULL_PAIR_BUCKET = 64
 
 
@@ -139,29 +138,45 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     )
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain mixing constants,
+    Steele et al. 2014): full-avalanche uint64 → uint64. Wrapping
+    multiplication is intentional."""
+    x = x.copy()
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
 class MinHasher:
-    """Stateful minhash kernel: the permutation coefficients are drawn
-    ONCE per actor in ``__init__`` (seeded → identical across actors),
-    then every batch is vectorized numpy."""
+    """Stateful minhash kernel: the permutation seeds are drawn ONCE
+    per actor in ``__init__`` (seeded → identical across actors), then
+    every batch is vectorized numpy.
+
+    Each "permutation" is ``splitmix64(shingle ^ seed_i)`` — a
+    full-avalanche mixer, NOT the ``(a*x+b) mod p`` affine family: with
+    coefficients small enough to avoid uint64 overflow (a < 2^31), the
+    affine map barely wraps the 2^61-1 modulus on crc32-sized inputs,
+    so it is order-preserving near zero — a shingle with a tiny crc32
+    dominated the min in EVERY permutation and true 0.98-Jaccard pairs
+    agreed on ~23/64 signature positions (measured), gutting recall."""
 
     def __init__(self, text_col: str, num_perm: int = 64, shingle_k: int = 5, seed: int = 7):
         rng = np.random.default_rng(seed)
-        # a,b < 2^31 and shingle hashes < 2^32 keep a*x+b < 2^63+2^31,
-        # so the uint64 product never wraps BEFORE the Mersenne modulo
-        # (an earlier draw from [1, 2^61) silently overflowed, replacing
-        # the universal-hash family with an uncontrolled composite)
-        self.a = rng.integers(1, 1 << 31, num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, 1 << 31, num_perm, dtype=np.uint64)
+        self.seeds = rng.integers(0, 1 << 63, num_perm, dtype=np.uint64)
         self.text_col = text_col
         self.num_perm = num_perm
         self.shingle_k = shingle_k
 
     def signature(self, text: Optional[str]) -> np.ndarray:
         if not text:
-            return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
+            return np.full(self.num_perm, (1 << 64) - 1, dtype=np.uint64)
         sh = _shingle_hashes(text, self.shingle_k)
         # (num_perm, n_shingles) -> min over shingles
-        vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
+        vals = _splitmix64(sh[None, :] ^ self.seeds[:, None])
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -549,25 +564,36 @@ def dedup_simhash(
         )
 
     def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        """EXACT within-bucket edges at ANY bucket size: hamming
+        distance depends only on the hash value, so docs sharing a hash
+        star-link to their min-id member (distance 0) and the all-pairs
+        check runs over DISTINCT hashes' representatives only — the
+        connected components equal the naive all-pairs relation's, at
+        O(distinct²) vectorized bit algebra instead of O(n²) Python."""
         ids = g[id_col].to_pylist()
         hs = g["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        groups: Dict[int, list] = {}
+        for i, h in enumerate(hs.tolist()):
+            groups.setdefault(h, []).append(ids[i])
         a_out, b_out = [], []
-        if len(ids) <= _MAX_FULL_PAIR_BUCKET:
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if bin(int(hs[i]) ^ int(hs[j])).count("1") <= max_hamming:
-                        a, b = sorted((ids[i], ids[j]))
-                        a_out.append(a)
-                        b_out.append(b)
-        else:
-            # degenerate bucket (usually identical hashes): star-verify
-            # against the min id — linear, and exact for hamming-0 floods
-            order = sorted(range(len(ids)), key=lambda i: ids[i])
-            root = order[0]
-            for j in order[1:]:
-                if bin(int(hs[root]) ^ int(hs[j])).count("1") <= max_hamming:
-                    a_out.append(ids[root])
-                    b_out.append(ids[j])
+        reps = []
+        for h, mem in groups.items():
+            mn = min(mem)
+            reps.append((h, mn))
+            for m in mem:
+                if m != mn:
+                    a_out.append(mn)
+                    b_out.append(m)
+        if len(reps) > 1:
+            hv = np.array([h for h, _ in reps], dtype=np.uint64)
+            bits = np.unpackbits(hv.view(np.uint8).reshape(-1, 8), axis=1).astype(np.float32)
+            ones = bits.sum(axis=1)
+            ham = ones[:, None] + ones[None, :] - 2 * (bits @ bits.T)
+            ii, jj = np.where(np.triu(ham <= max_hamming, 1))
+            for i, j in zip(ii, jj):
+                a, b = sorted((reps[i][1], reps[j][1]))
+                a_out.append(a)
+                b_out.append(b)
         return pa.table({"a": pa.array(a_out, type=id_type), "b": pa.array(b_out, type=id_type)})
 
     verified = (
