@@ -386,6 +386,37 @@ def _q_ann_ivf(sf_dir):
     return out
 
 
+_DECAP_PCAP = "/tmp/tzr_q_packets.pcap"
+_DECAP_EXPECTED = "/tmp/tzr_decap_expected.parquet"
+_DECAP_N, _DECAP_SEED = 1200, 23
+
+
+def _q_decapsulate(sf_dir):
+    """pcap → decapsulate: deterministic synthetic frames (mixed
+    TCP/UDP/ICMP, v4/v6, VLAN/QinQ tags, truncated garbage) written as
+    a real pcap file, re-read with the pcap parser, and decapsulated
+    with Community ID stamping."""
+    from tenzir_ray import pcap
+
+    pcap.write_spec_pcap(_DECAP_PCAP, n=_DECAP_N, seed=_DECAP_SEED)
+    return pcap.decapsulate(pcap.read_pcap(_DECAP_PCAP), keep_pcap=False)
+
+
+def _decapsulate_oracle() -> str:
+    """Spec-level expected rows (tenzir_ray.naive.decapsulate_expected
+    — derived from the flow specs alone, independent of frame bytes,
+    the pcap format, and the packet parser) materialized as parquet
+    for the driver's DuckDB side."""
+    if "decap" not in _synth_cache:
+        import pyarrow.parquet as pq
+
+        from tenzir_ray import naive
+
+        pq.write_table(naive.decapsulate_expected(_DECAP_N, _DECAP_SEED), _DECAP_EXPECTED)
+        _synth_cache["decap"] = f"SELECT * FROM read_parquet('{_DECAP_EXPECTED}')"
+    return _synth_cache["decap"]
+
+
 def _q_sessionize(sf_dir):
     from tenzir_ray.ops.window import sessionize
 
@@ -530,6 +561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compress_roundtrip_docs": _q_compress_roundtrip,
         "cef_roundtrip": _q_cef_roundtrip,
         "pseudonymize_ips": _q_pseudonymize,
+        "decapsulate_packets": _q_decapsulate,
         "sessionize_events": _q_sessionize,
         "tumbling_counts": _q_tumbling_counts,
     }
@@ -896,6 +928,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_docs": _simhash_oracle(),
         "dedup_embedding_vecs": _embedding_oracle(),
         "pseudonymize_ips": _pseudonymize_oracle(),
+        "decapsulate_packets": _decapsulate_oracle(),
         "cdc_replay": _cdc_oracle(),
         # ann_ivf with nprobe == n_lists probes every list → exact
         # top-k; its oracle is the brute-force SQL (equality verified

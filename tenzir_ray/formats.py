@@ -268,17 +268,13 @@ def parse_zeek_json(ds: Dataset, text_col: str = "text") -> Dataset:
 
 
 def decapsulate(ds: Dataset, data_col: str = "data") -> Dataset:
-    """PCAP packet decapsulation STUB (reference:
-    ``builtins/operators/decapsulate.cpp:303-440`` parses
-    ethernet/vlan/ip/tcp/udp + community_id). No packet library
-    (dpkt/scapy) exists in this container; the operator contract —
-    binary packet column in, typed header columns out via a
-    ``map_batches`` kernel — is fixed here for a drop-in kernel."""
-    raise NotImplementedError(
-        "decapsulate needs a packet-parsing library (dpkt/scapy), not present "
-        "in this container; plumb a parser through map_batches like "
-        "tenzir_ray.multimodal.ImageDecode"
-    )
+    """PCAP packet decapsulation (reference:
+    ``builtins/operators/decapsulate.cpp:303-440``). Implemented in
+    pure ``struct`` offset arithmetic — no packet library needed; see
+    :mod:`tenzir_ray.pcap` for the parser and Community ID."""
+    from tenzir_ray.pcap import decapsulate as _decap
+
+    return _decap(ds)
 
 
 _KV_RE = re.compile(r'(\w+)=(?:"([^"]*)"|(\S+))')

@@ -111,3 +111,79 @@ def pan_pseudonym(ip_str: str, seed: str = "") -> str:
         prf = hashlib.blake2b(src[:i].encode(), key=key, digest_size=1).digest()[0] & 1
         out.append(str(int(src[i]) ^ prf))
     return str(ipaddress.ip_address(int("".join(out), 2)))
+
+
+def _cid_v1(src_ip: str, dst_ip: str, proto: int, sport: int, dport: int, seed: int = 0) -> str:
+    """Community ID v1 straight from the published Corelight spec,
+    independent of the operator's byte-level version: seed(2,BE) +
+    addr-ordered (src, dst, proto, 0, sport, dport) → sha1 → base64."""
+    import base64 as _b64
+
+    a, b = ipaddress.ip_address(src_ip), ipaddress.ip_address(dst_ip)
+    icmp_dual = {8: 0, 0: 8, 13: 14, 14: 13, 15: 16, 16: 15, 10: 9, 9: 10, 17: 18, 18: 17}
+    one_way = False
+    if proto == 1:
+        if sport in icmp_dual:
+            dport = icmp_dual[sport]
+        else:
+            one_way = True
+    keep = one_way or a.packed < b.packed or (a.packed == b.packed and sport < dport)
+    if not keep:
+        a, b, sport, dport = b, a, dport, sport
+    msg = (
+        seed.to_bytes(2, "big") + a.packed + b.packed
+        + bytes([proto, 0]) + sport.to_bytes(2, "big") + dport.to_bytes(2, "big")
+    )
+    return "1:" + _b64.b64encode(hashlib.sha1(msg).digest()).decode()
+
+
+def decapsulate_expected(n: int = 1200, seed: int = 23):
+    """Expected decapsulation output derived from the packet SPECS
+    alone (tenzir_ray.pcap.gen_packet_specs) — never touches frame
+    bytes, the pcap format, or the operator's parser, so it catches
+    bugs in any of them."""
+    import pyarrow as pa
+
+    from tenzir_ray.pcap import gen_packet_specs
+
+    def mac(bs: bytes) -> str:
+        return "-".join(format(x, "02X") for x in bs)
+
+    rows = []
+    for s in gen_packet_specs(n, seed):
+        k = s["kind"]
+        row = dict.fromkeys(
+            ["eth_src", "eth_dst", "eth_type", "vlan_outer", "vlan_inner",
+             "ip_src", "ip_dst", "ip_proto", "src_port", "dst_port",
+             "icmp_type", "icmp_code", "community_id"]
+        )
+        if k != "garbage":
+            row["eth_src"] = mac(s["src_mac"])
+            row["eth_dst"] = mac(s["dst_mac"])
+            row["eth_type"] = 0x86DD if k == "tcp6" else 0x0800
+            if k == "vlan_tcp4":
+                row["vlan_outer"] = s["vlan_outer"]
+            elif k == "qinq_udp4":
+                row["vlan_outer"] = s["vlan_outer"]
+                row["vlan_inner"] = s["vlan_inner"]
+            src = str(ipaddress.ip_address(s["src_ip"]))
+            dst = str(ipaddress.ip_address(s["dst_ip"]))
+            row["ip_src"], row["ip_dst"] = src, dst
+            if k == "icmp4":
+                row["ip_proto"] = 1
+                row["icmp_type"], row["icmp_code"] = s["icmp_type"], s["icmp_code"]
+                row["community_id"] = _cid_v1(src, dst, 1, s["icmp_type"], s["icmp_code"])
+            else:
+                row["ip_proto"] = 17 if k in ("udp4", "qinq_udp4") else 6
+                row["src_port"], row["dst_port"] = s["sport"], s["dport"]
+                row["community_id"] = _cid_v1(src, dst, row["ip_proto"], s["sport"], s["dport"])
+        rows.append(row)
+    cols = {name: [r[name] for r in rows] for name in rows[0]}
+    typed = {
+        name: pa.array(
+            vals,
+            type=pa.string() if name in ("eth_src", "eth_dst", "ip_src", "ip_dst", "community_id") else pa.uint64(),
+        )
+        for name, vals in cols.items()
+    }
+    return pa.table(typed)
