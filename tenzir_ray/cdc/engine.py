@@ -37,7 +37,6 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data import Dataset
 
-from tenzir_ray.cdc import binlog as bl
 from tenzir_ray.cdc.lake import Lake
 from tenzir_ray.cdc.merge import apply_chunk
 
@@ -216,7 +215,7 @@ class CdcTypedStage:
 
 
 def build_chunk_pipeline(
-    shard_paths: List[str],
+    shard_paths,
     num_buckets: int,
     *,
     enrich: bool = True,
@@ -226,9 +225,11 @@ def build_chunk_pipeline(
     applied_through: int = -1,
 ) -> Dataset:
     """tail(read) → fused typed stage (parse/enrich/combine) for one
-    chunk of binlog shards. Output is pre-combined: per batch, only the
-    max-``commit_seq`` event per key survives, ready for the merge
-    shuffle.
+    chunk of binlog shards. ``shard_paths`` is a list of parquet paths
+    or a pre-built raw-record Dataset (any
+    :class:`tenzir_ray.sources.stream.StreamSource`). Output is
+    pre-combined: per batch, only the max-``commit_seq`` event per key
+    survives, ready for the merge shuffle.
 
     Pool sizing: ``num_cpus=1`` per actor, pool ≈ half the cluster —
     the reads and the shuffle need the other half; a pool that reserves
@@ -238,7 +239,7 @@ def build_chunk_pipeline(
     if enrich_concurrency is None:
         total_cpus = int(_ray.cluster_resources().get("CPU", 4))
         enrich_concurrency = max(2, total_cpus // 2)
-    ds = ray.data.read_parquet(shard_paths)
+    ds = shard_paths if isinstance(shard_paths, Dataset) else ray.data.read_parquet(shard_paths)
     return ds.map_batches(
         CdcTypedStage,
         fn_constructor_kwargs={
@@ -267,7 +268,7 @@ def _chunk_schema(shard_paths: List[str]) -> pa.Schema:
 
 
 def replay(
-    binlog_dir: str,
+    binlog_dir,
     lake_root: str,
     *,
     num_buckets: int = 64,
@@ -280,7 +281,12 @@ def replay(
     crash_before_commit_of_chunk: Optional[int] = None,
     prefetch: bool = True,
 ) -> Dict:
-    """Tail the binlog and apply every pending chunk; resumable.
+    """Tail the source and apply every pending chunk; resumable.
+
+    ``binlog_dir`` is a binlog directory path or any
+    :class:`tenzir_ray.sources.stream.StreamSource` (the pluggable
+    kafka-consumer seam) — the exactly-once machinery (offset HWM
+    duplicate drop, 2PC manifest) is source-agnostic.
 
     ``prefetch``: while chunk N merges+commits, chunk N+1's
     read→typed→combine stage runs in a driver thread and pins its
@@ -297,12 +303,17 @@ def replay(
     crash window the 2PC design must survive."""
     from concurrent.futures import ThreadPoolExecutor
 
+    from tenzir_ray.sources.stream import BinlogSource, StreamSource
+
+    source: StreamSource = (
+        BinlogSource(binlog_dir) if isinstance(binlog_dir, str) else binlog_dir
+    )
     lake = Lake.create(lake_root, num_buckets=num_buckets)
     man = lake.latest_manifest()
     if man["num_buckets"] != num_buckets:
         num_buckets = man["num_buckets"]  # bucket count is a lake property
 
-    pending = bl.pending_shards(binlog_dir, man["applied_through"])
+    pending = source.pending(man["applied_through"])
     stats = {"chunks": 0, "events": 0, "wall_sec": 0.0}
     chunk_no = 0
     pool = ThreadPoolExecutor(1) if prefetch else None
@@ -321,12 +332,11 @@ def replay(
             if stop_after_chunks is not None and chunk_no > stop_after_chunks:
                 break
             chunk_id = f"chunk-{group[0]['min_offset']}-{group[-1]['max_offset']}"
-            shard_paths = [f"{binlog_dir}/{s['file']}" for s in group]
             # UNIQUE binlog offsets, not delivered rows — shard "rows"
             # include duplicate-delivery repeats, which would inflate
             # the events/sec headline
             n_events = group[-1]["max_offset"] - group[0]["min_offset"] + 1
-            events_schema = _chunk_schema(shard_paths)
+            events_schema = source.schema(group)
 
             cur = lake.latest_manifest()
             if chunk_id in cur["applied_chunks"]:
@@ -343,7 +353,7 @@ def replay(
                 next_future = None
             else:
                 events = build_chunk_pipeline(
-                    shard_paths,
+                    source.dataset(group),
                     num_buckets,
                     enrich=enrich,
                     enrich_concurrency=enrich_concurrency,
@@ -353,12 +363,12 @@ def replay(
             # kick off chunk N+1's read/typed/combine while N merges
             if pool is not None and i + chunk_shards < len(pending):
                 nxt = pending[i + chunk_shards : i + 2 * chunk_shards]
-                nxt_paths = [f"{binlog_dir}/{s['file']}" for s in nxt]
+                nxt_ds = source.dataset(nxt)  # lazy: built, not executed
                 end_of_current = group[-1]["max_offset"]
 
-                def _prefetch(paths=nxt_paths, at=end_of_current):
+                def _prefetch(raw=nxt_ds, at=end_of_current):
                     ds = build_chunk_pipeline(
-                        paths,
+                        raw,
                         num_buckets,
                         enrich=enrich,
                         enrich_concurrency=enrich_concurrency,

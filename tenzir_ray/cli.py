@@ -101,7 +101,25 @@ def main(argv=None) -> int:
             "json": sources.read_json,
             "lines": sources.read_lines,
         }
-        ds = readers[args.format](args.input)
+        if args.input == "-":
+            # stdin pipe (`dash` connector, builtins/connectors/dash.cpp:13-49):
+            # one driver-side read of the pipe, parsed per --format
+            import pyarrow as pa
+
+            import ray.data as _rd
+
+            raw = sys.stdin.read()
+            lines = [ln for ln in raw.splitlines() if ln.strip()]
+            if args.format == "json":
+                ds = _rd.from_items([json.loads(ln) for ln in lines])
+            elif args.format == "lines":
+                ds = _rd.from_arrow(pa.table({"text": pa.array(lines)}))
+            else:
+                print("error: stdin input supports --format json|lines", file=sys.stderr)
+                ray.shutdown()
+                return 2
+        else:
+            ds = readers[args.format](args.input)
         try:
             stage = tql.compile_pipeline(args.pipeline)
         except ValueError as e:
