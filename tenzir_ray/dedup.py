@@ -39,6 +39,9 @@ from tenzir_ray.arrowutil import str_slices
 _PYARROW = dict(batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 _MAX_FULL_PAIR_BUCKET = 64
+# candidate-count ceiling for the broadcast verification fast path
+# (~300 shingles × 8 B ≈ 2.4 KiB per candidate → ≤ ~50 MiB broadcast)
+_BROADCAST_CAND_LIMIT = 20_000
 
 
 def _collect_small(ds: Dataset) -> pa.Table:
@@ -340,7 +343,8 @@ def dedup_minhash_lsh(
     cand_tbl = _collect_small(pairs.map_batches(_pair_ids, **_PYARROW))
     if cand_tbl is None:
         return _finish_drop(hashed, id_col, set(), ["__minhash"])
-    cand_ref = ray.put(set(cand_tbl[id_col].to_pylist()))
+    cand_set = set(cand_tbl[id_col].to_pylist())
+    cand_ref = ray.put(cand_set)
 
     # task-side shingle extraction for candidate docs ONLY
     def extract_shingles(t: pa.Table) -> pa.Table:
@@ -357,6 +361,45 @@ def dedup_minhash_lsh(
                 "__sh": pa.array([s.tolist() for s in sh], type=sh_type),
             }
         )
+
+    # -- broadcast fast path ------------------------------------------------
+    # When the candidate set is modest, the shingle sets of JUST the
+    # candidates fit in one broadcast object: verify every pair in a
+    # single map_batches over the (small) pair table — zero extra
+    # shuffles. The two-groupby reduce-side join below is the
+    # arbitrarily-large-candidate-count fallback; both paths shuffle
+    # only candidate ids + shingles, never the corpus.
+    if len(cand_set) <= _BROADCAST_CAND_LIMIT:
+        sh_tbl = _collect_small(hashed.map_batches(extract_shingles, **_PYARROW))
+        sh_map = {
+            i: np.asarray(s, dtype=np.uint64)
+            for i, s in zip(sh_tbl[id_col].to_pylist(), sh_tbl["__sh"].to_pylist())
+        }
+        sh_ref = ray.put(sh_map)
+        edge_schema = pa.schema([("a", id_type), ("b", id_type)])
+
+        def verify_broadcast(t: pa.Table) -> pa.Table:
+            m = ray.get(sh_ref)
+            seen = set()
+            a_out, b_out = [], []
+            for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist()):
+                if (a, b) in seen:  # same pair from multiple bands
+                    continue
+                seen.add((a, b))
+                if _jaccard_sorted(m[a], m[b]) >= threshold:
+                    a_out.append(a)
+                    b_out.append(b)
+            return pa.table(
+                {"a": pa.array(a_out, type=id_type), "b": pa.array(b_out, type=id_type)}
+            )
+
+        edge_tbl = _collect_small(pairs.map_batches(verify_broadcast, **_PYARROW))
+        edges = (
+            set(zip(edge_tbl["a"].to_pylist(), edge_tbl["b"].to_pylist()))
+            if edge_tbl is not None
+            else set()
+        )
+        return _finish_drop(hashed, id_col, edges, ["__minhash"])
 
     # consumed by both join legs — pin once (candidates only, small)
     cand_sh = hashed.map_batches(extract_shingles, **_PYARROW).materialize()

@@ -92,3 +92,17 @@ def test_dedup_with_string_ids():
     out = dedup.dedup_exact(ds, on="text", id_col="doc_id")
     kept = sorted(r["doc_id"] for r in out.take_all())
     assert kept == ["doc-0", "doc-2", "doc-3"]
+
+
+def test_dedup_minhash_join_fallback(monkeypatch):
+    """Forcing the candidate count over the broadcast ceiling must
+    route through the reduce-side join path and give identical
+    results."""
+    fast = dedup.dedup_minhash_lsh(
+        docs_ds(), "text", "doc_id", num_perm=64, bands=16, threshold=0.5
+    ).to_pandas()
+    monkeypatch.setattr(dedup, "_BROADCAST_CAND_LIMIT", 0)
+    joined = dedup.dedup_minhash_lsh(
+        docs_ds(), "text", "doc_id", num_perm=64, bands=16, threshold=0.5
+    ).to_pandas()
+    assert sorted(fast["doc_id"]) == sorted(joined["doc_id"])
