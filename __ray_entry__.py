@@ -21,6 +21,7 @@ from collections.abc import Callable
 from typing import Any
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -400,6 +401,40 @@ def _q_ann_ivf_saved(sf_dir):
     return out
 
 
+def _q_lookup_join(sf_dir):
+    """Broadcast hash join: orders against the (small) customer
+    dimension — ray.put once, pyarrow hash join per batch."""
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.ops.join import lookup_join
+
+    ds = read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_mktsegment"])
+    out = lookup_join(ds, cust, keys="o_custkey", right_keys="c_custkey", how="left outer")
+    return _round_cols(out, ["o_totalprice"], 2)
+
+
+def _q_asof_join(sf_dir):
+    """As-of join: each event attaches the customer's most recent
+    order at-or-before the event time (right side pre-aggregated to
+    unique (user, date) so the match is deterministic)."""
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.ops.join import asof_join
+
+    ev = read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    orders = pq.read_table(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    r = (
+        orders.to_pandas()
+        .groupby(["o_custkey", "o_orderdate"], as_index=False)["o_totalprice"].max()
+        .rename(columns={"o_custkey": "user_id", "o_totalprice": "last_order_price"})
+    )
+    r["ts"] = pd.to_datetime(r.pop("o_orderdate"))
+    r["last_order_ts"] = r["ts"]
+    out = asof_join(ev, pa.Table.from_pandas(r, preserve_index=False), on="ts", by="user_id")
+    return _round_cols(out, ["last_order_price"], 2)
+
+
 _DECAP_PCAP = "/tmp/tzr_q_packets.pcap"
 _DECAP_EXPECTED = "/tmp/tzr_decap_expected.parquet"
 _DECAP_N, _DECAP_SEED = 1200, 23
@@ -577,6 +612,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cef_roundtrip": _q_cef_roundtrip,
         "pseudonymize_ips": _q_pseudonymize,
         "decapsulate_packets": _q_decapsulate,
+        "lookup_join_orders": _q_lookup_join,
+        "asof_join_events_orders": _q_asof_join,
         "sessionize_events": _q_sessionize,
         "tumbling_counts": _q_tumbling_counts,
     }
@@ -949,6 +986,23 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_vecs": _embedding_oracle(),
         "pseudonymize_ips": _pseudonymize_oracle(),
         "decapsulate_packets": _decapsulate_oracle(),
+        "lookup_join_orders": f"""
+            SELECT o_orderkey, o_custkey, {_sqlr('o_totalprice')} AS o_totalprice,
+                   c_name, c_mktsegment
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        """,
+        "asof_join_events_orders": f"""
+            WITH r AS (
+                SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS ts,
+                       max(o_totalprice) AS last_order_price
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id, e.ts,
+                   {_sqlr('r.last_order_price')} AS last_order_price,
+                   r.ts AS last_order_ts
+            FROM events e ASOF LEFT JOIN r
+                ON e.user_id = r.user_id AND e.ts >= r.ts
+        """,
         "cdc_replay": _cdc_oracle(),
         # ann_ivf with nprobe == n_lists probes every list → exact
         # top-k; both IVF variants share the brute-force SQL oracle

@@ -1,0 +1,87 @@
+"""Join operators — broadcast lookup join and as-of join.
+
+The reference has NO two-input join (SURVEY §2.5 negative space:
+pipelines are linear, ``pipeline.hpp:401-414``); its only lookup-style
+enrichment is sigma matching and taxonomy resolution. These operators
+are the training-data-pipeline extension the brief calls for, built
+the Ray-Data-idiomatic way:
+
+- **Broadcast pattern, stated assumption**: the RIGHT side is a
+  dimension table small enough to ``ray.put`` once and read from the
+  object store by every task (one copy per node). At 100 TB the left
+  side streams; the right side must stay ~worker-heap-sized. A
+  big-big shuffle join is NOT provided here — co-partitioning both
+  sides by key hash (the dedup reduce-side-join pattern in
+  ``dedup.py``) is the escape hatch when the right side outgrows a
+  broadcast.
+- Per-batch kernels are C-backed: ``pyarrow.Table.join`` (hash join)
+  and ``pandas.merge_asof`` (sorted as-of merge).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+import pandas as pd
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+_PYARROW = dict(batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+def lookup_join(
+    ds: Dataset,
+    right: pa.Table,
+    keys: Union[str, Sequence[str]],
+    right_keys: Union[str, Sequence[str], None] = None,
+    how: str = "left outer",
+) -> Dataset:
+    """Hash-join every batch of ``ds`` against a broadcast ``right``
+    table (``pyarrow.Table.join`` per batch; join types as pyarrow
+    names: 'left outer', 'inner', ...)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    right_keys = (
+        keys if right_keys is None
+        else [right_keys] if isinstance(right_keys, str) else list(right_keys)
+    )
+    r_ref = ray.put(right)
+
+    def apply(t: pa.Table) -> pa.Table:
+        r = ray.get(r_ref)
+        return t.join(r, keys=keys, right_keys=right_keys, join_type=how)
+
+    return ds.map_batches(apply, **_PYARROW)
+
+
+def asof_join(
+    ds: Dataset,
+    right: pa.Table,
+    on: str,
+    by: Union[str, Sequence[str], None] = None,
+    direction: str = "backward",
+    tolerance=None,
+) -> Dataset:
+    """As-of join: for each left row, attach the right row with the
+    greatest ``on`` value <= the left's (direction='backward'; also
+    'forward'/'nearest'), optionally matching ``by`` keys first —
+    DuckDB's ``ASOF JOIN`` semantics, pandas' C merge kernel per
+    batch.
+
+    The right table must have UNIQUE (by, on) combinations — ties make
+    the matched row ambiguous; callers pre-aggregate (the same
+    discipline DuckDB's ASOF requires for determinism)."""
+    by_cols: Optional[List[str]] = (
+        None if by is None else [by] if isinstance(by, str) else list(by)
+    )
+    rdf = right.to_pandas().sort_values(on, kind="mergesort").reset_index(drop=True)
+    r_ref = ray.put(rdf)
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(r_ref)
+        left = df.sort_values(on, kind="mergesort").reset_index(drop=True)
+        return pd.merge_asof(
+            left, r, on=on, by=by_cols, direction=direction, tolerance=tolerance
+        )
+
+    return ds.map_batches(apply, batch_format="pandas", batch_size=None)

@@ -55,14 +55,18 @@ def _builtin_inventory() -> Dict[str, list]:
                 "hash", "flatten", "unflatten", "head", "tail", "taste", "unique",
                 "enumerate", "batch", "repeat", "measure", "pass", "discard",
                 "summarize", "sort", "top", "rare", "sigma", "pseudonymize",
-                "compress", "decompress", "serve",
+                "compress", "decompress", "serve", "decapsulate", "shell",
+                "lookup_join", "asof_join",
             ]
             + sorted(OPERATORS)
         ),
         "aggregation_functions": list(AGGREGATE_FUNCTIONS),
-        "formats": ["parquet", "csv", "json", "lines", "binary", "cef", "zeek-tsv", "yaml", "kv"]
+        "formats": ["parquet", "csv", "json", "lines", "binary", "cef", "zeek-tsv", "yaml", "kv", "pcap"]
         + sorted(PARSERS),
-        "connectors": ["file", "s3 (arrow fs)", "gcs (arrow fs)"],
+        "connectors": [
+            "file", "s3 (arrow fs)", "gcs (arrow fs)", "http(s) (read_http)",
+            "stdin (-)", "stream source (StreamSource protocol)",
+        ],
         "pipelines": ["cdc replay (binlog -> lww merge -> lake)", "compaction/rebucket"],
         "training_data_ops": [
             "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
