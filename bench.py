@@ -162,10 +162,19 @@ def one_run() -> dict:
         sf = float(sf)
     except ValueError:
         pass
+    try:
+        with open("/proc/loadavg") as f:
+            load1 = float(f.read().split()[0])
+    except OSError:
+        load1 = None
     return {
         "metric": "cdc_replay_sec",
         "value": round(cdc["total_sec"], 3),
         "unit": "sec",
+        # 1-min load at run END: external tenants on this shared box
+        # inflate wall times up to 3x; readings > ~4 mean the run was
+        # contended (our own workers also count while running)
+        "load1_end": load1,
         "queries": queries,
         "sf": sf,
         "num_cpus": NUM_CPUS,
@@ -205,22 +214,29 @@ def scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def median_run(ncpu: int) -> tuple:
-        # MEDIAN of N fresh-process runs (judge criterion: not best-of),
-        # interleaving is deliberate — see the loop below
-        runs = [run(ncpu) for _ in range(repeats)]
-        secs = sorted(r["value"] for r in runs)
-        return secs[len(secs) // 2], [r["value"] for r in runs], runs[0]["events"]
-
-    t_lo, lo_all, events = median_run(n_lo)
-    t_hi, hi_all, _ = median_run(n_hi)
-    eff = (t_lo / t_hi) / (n_hi / n_lo)
+    # INTERLEAVED PAIRS (lo, hi, lo, hi, ...): external tenant load on
+    # this shared box drifts on a minutes timescale, so measuring all
+    # lo-runs then all hi-runs lets one load epoch poison one leg.
+    # Adjacent lo/hi pairs see the same epoch; the median of per-pair
+    # efficiencies is robust to drift.
+    pairs = []
+    lo_all, hi_all, events = [], [], None
+    for _ in range(repeats):
+        lo, hi = run(n_lo), run(n_hi)
+        events = lo["events"]
+        lo_all.append(lo["value"])
+        hi_all.append(hi["value"])
+        pairs.append(round((lo["value"] / hi["value"]) / (n_hi / n_lo), 3))
+    eff = sorted(pairs)[len(pairs) // 2]
+    t_lo = sorted(lo_all)[len(lo_all) // 2]
+    t_hi = sorted(hi_all)[len(hi_all) // 2]
     return {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": eff,
         "unit": "ratio",
         "levels": [n_lo, n_hi],
         "repeats": repeats,
+        "pair_efficiencies": pairs,
         f"sec_{n_lo}": t_lo,
         f"sec_{n_hi}": t_hi,
         f"all_sec_{n_lo}": lo_all,

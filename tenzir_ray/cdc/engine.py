@@ -234,25 +234,29 @@ def build_chunk_pipeline(
     Pool sizing: ``num_cpus=1`` per actor, pool ≈ half the cluster —
     the reads and the shuffle need the other half; a pool that reserves
     every CPU starves them and the pipeline serializes."""
-    import ray as _ray
-
-    if enrich_concurrency is None:
-        total_cpus = int(_ray.cluster_resources().get("CPU", 4))
-        enrich_concurrency = max(2, total_cpus // 2)
     ds = shard_paths if isinstance(shard_paths, Dataset) else ray.data.read_parquet(shard_paths)
+    # TASK pool, not an actor pool: the stage's state (lang rules, HWM
+    # dict) is trivially cheap, so a pickled callable instance rebuilt
+    # per task amortizes fine over a 128Ki-row batch — and tasks skip
+    # the actor-pool spawn (~2 s at 16 actors) and schedule elastically
+    # instead of pinning a fixed pool width. Measured on the 3M-event
+    # bench: 32 cpus 14.2 s → 9.7 s, 8 cpus 36.9 s → 31.5 s (A/B,
+    # same input, same session conditions). `enrich_concurrency`
+    # survives as an optional cap for constrained test environments.
+    stage = CdcTypedStage(
+        num_buckets=num_buckets, hwm=hwm,
+        applied_through=applied_through, enrich=enrich,
+    )
+    kwargs = {}
+    if enrich_concurrency is not None:
+        kwargs["concurrency"] = enrich_concurrency
     return ds.map_batches(
-        CdcTypedStage,
-        fn_constructor_kwargs={
-            "num_buckets": num_buckets,
-            "hwm": hwm,
-            "applied_through": applied_through,
-            "enrich": enrich,
-        },
+        stage,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=enrich_concurrency,
-        num_cpus=0.5,
+        num_cpus=1,
+        **kwargs,
     )
 
 
