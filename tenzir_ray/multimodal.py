@@ -29,6 +29,9 @@ _PYARROW = dict(batch_format="pyarrow", zero_copy_batch=True)
 # fake payload layout: magic(4s) width(u16) height(u16) channels(u8) then pixel bytes
 _FAKE_MAGIC = b"FIMG"
 _FAKE_AUDIO_MAGIC = b"FAUD"
+# fake video: magic(4s) n_frames(u32) fps(u16) then n_frames fake-image payloads,
+# each length-prefixed (u32)
+_FAKE_VIDEO_MAGIC = b"FVID"
 
 
 def make_fake_image(width: int, height: int, channels: int = 3, seed: int = 0) -> bytes:
@@ -164,11 +167,81 @@ def audio_features(ds: Dataset, data_col: str = "data", concurrency: int = 2, ba
     )
 
 
-def sample_video_frames(ds: Dataset, every_n: int = 30, **kwargs) -> Dataset:
-    """Video frame sampling STUB: no video codec exists in this
-    container. The operator signature and partitioning contract are
-    fixed here so a real ffmpeg-backed kernel drops in."""
-    raise NotImplementedError(
-        "video decode needs ffmpeg/pyav, not present in this container; "
-        "plumb a decoder class through map_batches like ImageDecode"
+def make_fake_video(n_frames: int, width: int = 32, height: int = 16, fps: int = 30, seed: int = 0) -> bytes:
+    """Deterministic fake video payload: header + length-prefixed fake
+    images (stands in for a container format the way FIMG stands in
+    for JPEG)."""
+    out = [_FAKE_VIDEO_MAGIC + struct.pack("<IH", n_frames, fps)]
+    for i in range(n_frames):
+        frame = make_fake_image(width, height, seed=seed * 10_007 + i)
+        out.append(struct.pack("<I", len(frame)) + frame)
+    return b"".join(out)
+
+
+class VideoFrameSample:
+    """Actor-pool frame sampler: emit every Nth frame of each video as
+    its own row (video_id, frame_index, ts_sec, data) — the fan-out
+    shape (one row in, many rows out) a real ffmpeg/pyav kernel would
+    use. ``codec='fake'`` walks the FVID container; other codecs raise
+    with the dependency named."""
+
+    def __init__(self, data_col: str = "data", id_col: str = "video_id",
+                 every_n: int = 30, codec: str = "fake"):
+        if codec != "fake":
+            raise NotImplementedError(
+                f"codec {codec!r} needs a video library (ffmpeg/pyav) not present "
+                "in this container"
+            )
+        self.data_col = data_col
+        self.id_col = id_col
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, ts, frames = [], [], [], []
+        for vid, payload in zip(
+            batch[self.id_col].to_pylist(), batch[self.data_col].to_pylist()
+        ):
+            if payload is None or payload[:4] != _FAKE_VIDEO_MAGIC:
+                continue
+            n, fps = struct.unpack("<IH", payload[4:10])
+            pos = 10
+            for i in range(n):
+                (flen,) = struct.unpack("<I", payload[pos : pos + 4])
+                pos += 4
+                if i % self.every_n == 0:
+                    ids.append(vid)
+                    idxs.append(i)
+                    ts.append(i / fps)
+                    frames.append(payload[pos : pos + flen])
+                pos += flen
+        return pa.table(
+            {
+                self.id_col: pa.array(ids),
+                "frame_index": pa.array(idxs, type=pa.int32()),
+                "ts_sec": pa.array(ts, type=pa.float64()),
+                "data": pa.array(frames, type=pa.binary()),
+            }
+        )
+
+
+def sample_video_frames(
+    ds: Dataset,
+    every_n: int = 30,
+    data_col: str = "data",
+    id_col: str = "video_id",
+    concurrency: int = 2,
+    batch_size: int = 8,
+) -> Dataset:
+    """Every-Nth-frame sampling: one row per sampled frame. TINY
+    batches — a video payload is frames × image bytes, the largest
+    payload class this module handles."""
+    return ds.map_batches(
+        VideoFrameSample,
+        fn_constructor_kwargs={
+            "data_col": data_col, "id_col": id_col, "every_n": every_n,
+        },
+        concurrency=concurrency,
+        num_cpus=0.5,
+        batch_size=batch_size,
+        **_PYARROW,
     )

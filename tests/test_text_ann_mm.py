@@ -130,3 +130,25 @@ def test_ivf_save_load_query(tmp_path):
     assert pruned.count() < 128
     got = set(ann.knn_ivf_saved(path, q, k=5, nprobe=2)["vec_id"])
     assert 7 in got
+
+
+def test_video_frame_sampling():
+    vids = [multimodal.make_fake_video(17, seed=i) for i in range(3)]
+    t = pa.table({"video_id": [0, 1, 2], "data": pa.array(vids, type=pa.binary())})
+    out = (
+        multimodal.sample_video_frames(ray.data.from_arrow(t), every_n=5, concurrency=1)
+        .to_pandas().sort_values(["video_id", "frame_index"]).reset_index(drop=True)
+    )
+    # 17 frames, every 5th -> indexes 0,5,10,15 per video
+    assert out["frame_index"].tolist() == [0, 5, 10, 15] * 3
+    assert out["ts_sec"].iloc[1] == 5 / 30
+    # sampled frames decode like images
+    dec = multimodal.decode_images(
+        ray.data.from_arrow(pa.Table.from_pandas(out[["video_id", "data"]])), concurrency=1
+    ).to_pandas()
+    assert dec["width"].tolist() == [32] * 12
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.VideoFrameSample(codec="h264")
