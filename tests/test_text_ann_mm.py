@@ -99,8 +99,8 @@ def test_multimodal_audio_and_stubs():
 
     with pytest.raises(NotImplementedError, match="image library"):
         multimodal.ImageDecode(codec="jpeg")
-    with pytest.raises(NotImplementedError, match="ffmpeg"):
-        multimodal.sample_video_frames(ray.data.from_arrow(t))
+    with pytest.raises(NotImplementedError, match="video library"):
+        multimodal.VideoFrameSample(codec="h264")
 
 
 def test_ivf_save_load_query(tmp_path):
