@@ -46,7 +46,10 @@ def main(argv=None) -> int:
     )
     x.add_argument("pipeline", help="e.g. 'where x > 1 | summarize n=count(.) by g | sort g'")
     x.add_argument("--input", required=True, help="parquet/csv/json/text path or glob")
-    x.add_argument("--format", default="parquet", choices=["parquet", "csv", "json", "lines"])
+    x.add_argument(
+        "--format", default="parquet",
+        choices=["parquet", "csv", "json", "lines", "pcap", "http"],
+    )
     x.add_argument("--output", default="-", help="output dir (parquet) or '-' for stdout NDJSON")
     x.add_argument("--limit", type=int, default=None, help="stdout row cap (default 100)")
 
@@ -95,11 +98,16 @@ def main(argv=None) -> int:
 
         from tenzir_ray import sources, tql
 
+        from tenzir_ray.pcap import read_pcap
+        from tenzir_ray.sources.http import read_http
+
         readers = {
             "parquet": sources.read_parquet,
             "csv": sources.read_csv,
             "json": sources.read_json,
             "lines": sources.read_lines,
+            "pcap": read_pcap,
+            "http": read_http,  # --input is the URL; NDJSON body
         }
         if args.input == "-":
             # stdin pipe (`dash` connector, builtins/connectors/dash.cpp:13-49):

@@ -139,6 +139,46 @@ def _compile_stage(stage: str) -> Callable[[Dataset], Dataset]:
         return lambda ds: ops.measure(ds)
     if op == "pass":
         return lambda ds: ds
+    if op == "shell":
+        cmd = rest.strip().strip('"').strip("'")
+
+        def _shell(ds, _cmd=cmd):
+            from tenzir_ray.ops.shell import shell_op
+
+            return shell_op(ds, _cmd)
+
+        return _shell
+    if op == "decapsulate":
+
+        def _decap(ds):
+            from tenzir_ray.pcap import decapsulate
+
+            return decapsulate(ds)
+
+        return _decap
+    if op == "sigma":
+
+        def _sigma(ds, _rule=rest.strip()):
+            from tenzir_ray.sigma import sigma
+
+            return sigma(ds, _rule)
+
+        return _sigma
+    if op == "lookup-join":
+        # lookup-join <parquet_path> on <key>[=<right_key>]
+        m = re.match(r"(\S+)\s+on\s+(\S+?)(?:=(\S+))?$", rest)
+        if not m:
+            raise ValueError("lookup-join wants: <parquet> on <key>[=<right_key>]")
+        path, key, rkey = m.group(1), m.group(2), m.group(3)
+
+        def _lj(ds, _p=path, _k=key, _rk=rkey):
+            import pyarrow.parquet as pq
+
+            from tenzir_ray.ops.join import lookup_join
+
+            return lookup_join(ds, pq.read_table(_p), keys=_k, right_keys=_rk or _k)
+
+        return _lj
     # user-registered operators (registry.register_operator) get the raw
     # argument string — the operator_parser_plugin analog
     from tenzir_ray import registry

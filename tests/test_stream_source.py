@@ -131,3 +131,42 @@ def test_cli_stdin_pipe():
     assert r.returncode == 0, r.stderr[-2000:]
     out = [json.loads(ln) for ln in r.stdout.strip().splitlines()]
     assert len(out) == 5 and all(o["z"] == o["x"] + o["y"] for o in out)
+
+
+def test_tql_shell_and_lookup_join(ray_session, tmp_path):
+    """Round-2 operators reachable from the TQL string language."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from tenzir_ray import tql
+
+    ds = ray.data.from_arrow(pa.table({"text": [f"ln {i}" for i in range(6)]}))
+    out = tql.run("shell tr a-z A-Z | where text matches \"LN\"", ds).to_pandas()
+    assert len(out) == 6 and out["text"].str.startswith("LN").all()
+
+    dim = str(tmp_path / "dim.parquet")
+    pq.write_table(pa.table({"k": [0, 1], "name": ["zero", "one"]}), dim)
+    ds2 = ray.data.from_arrow(pa.table({"k": [0, 1, 1, 2], "v": [9, 8, 7, 6]}))
+    out2 = tql.run(f"lookup-join {dim} on k | sort v", ds2).to_pandas()
+    assert out2["name"].tolist() == [None, "one", "one", "zero"]
+
+
+def test_cli_pcap_exec(tmp_path):
+    """`exec --format pcap` reads a trace and decapsulates via TQL."""
+    import json
+    import subprocess
+
+    from tenzir_ray import pcap
+
+    p = str(tmp_path / "t.pcap")
+    pcap.write_spec_pcap(p, n=40, seed=3)
+    r = subprocess.run(
+        ["python", "-m", "tenzir_ray.cli", "exec",
+         "decapsulate | where ip_proto == 6 | select ip_src, src_port, community_id | head 5",
+         "--input", p, "--format", "pcap"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = [json.loads(ln) for ln in r.stdout.strip().splitlines()]
+    assert rows and all(row["community_id"].startswith("1:") for row in rows)
