@@ -638,7 +638,23 @@ _S = r"len(regexp_extract_all(text, '(?i)\b(?:the|and|of|to|a|in|is|that|it|for)
 # a silent pass.
 # ---------------------------------------------------------------------------
 
-_ORACLE_SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+def _oracle_sfs(table_file: str) -> tuple:
+    """SF dirs to embed loser-list branches for: every /root/testdata
+    SF that carries the table, plus $GRAFT_SF_DIR if it points
+    elsewhere — so the probe guard covers whichever corpus the driver
+    (or a bench run) registers instead of a fixed sf0.001/sf0.01 pair."""
+    import glob as _glob
+
+    dirs = sorted(
+        d for d in _glob.glob("/root/testdata/sf*")
+        if os.path.isfile(os.path.join(d, table_file))
+    )
+    extra = os.environ.get("GRAFT_SF_DIR")
+    if extra and extra not in dirs and os.path.isfile(os.path.join(extra, table_file)):
+        dirs.append(extra)
+    return tuple(dirs)
+
+
 _synth_cache: dict[str, str] = {}
 
 
@@ -679,7 +695,7 @@ def _simhash_oracle() -> str:
         branches = {
             _probe_value(f"{sf}/documents.parquet", "documents", "text"):
                 naive.simhash_losers(f"{sf}/documents.parquet", max_hamming=2)
-            for sf in _ORACLE_SFS
+            for sf in _oracle_sfs("documents.parquet")
         }
         _synth_cache["simhash"] = _inlist_oracle("documents", "doc_id", "text", branches)
     return _synth_cache["simhash"]
@@ -692,7 +708,7 @@ def _embedding_oracle() -> str:
         branches = {
             _probe_value(f"{sf}/embeddings.parquet", "embeddings", "embedding"):
                 naive.embedding_losers(f"{sf}/embeddings.parquet", threshold=0.999)
-            for sf in _ORACLE_SFS
+            for sf in _oracle_sfs("embeddings.parquet")
         }
         _synth_cache["embedding"] = _inlist_oracle("embeddings", "vec_id", "embedding", branches)
     return _synth_cache["embedding"]

@@ -220,11 +220,19 @@ class Lake:
         # would omit (or KeyError on) evolved columns. With the declared
         # schema, pyarrow's dataset layer fills missing columns with
         # nulls — the documented F4 "pre-evolution rows read back as
-        # null" rule.
+        # null" rule. When a column projection is given, the declared
+        # schema must be projected to those columns too — Ray's parquet
+        # datasource rebuilds tables from column-projected batches under
+        # the declared schema, and a full schema + projected batches
+        # raises ArrowInvalid.
+        schema = self.schema()
+        if columns:
+            cols = set(columns)
+            schema = pa.schema([f for f in schema if f.name in cols])
         return ray.data.read_parquet(
             files,
             columns=list(columns) if columns else None,
-            schema=self.schema(),
+            schema=schema,
             **kwargs,
         )
 

@@ -40,6 +40,18 @@ def lookup_join(
     """Hash-join every batch of ``ds`` against a broadcast ``right``
     table (``pyarrow.Table.join`` per batch; join types as pyarrow
     names: 'left outer', 'inner', ...)."""
+    # only LEFT-preserving join types are correct per batch: a
+    # right-preserving type ('right outer', 'full outer', 'right
+    # semi/anti') would emit unmatched/matched RIGHT rows once per left
+    # batch, duplicating or fabricating rows. The escape hatch for those
+    # is a co-partitioned shuffle join (the dedup reduce-side pattern).
+    _LEFT_PRESERVING = {"left outer", "inner", "left semi", "left anti"}
+    if how not in _LEFT_PRESERVING:
+        raise ValueError(
+            f"lookup_join supports only left-preserving join types "
+            f"{sorted(_LEFT_PRESERVING)}, got {how!r}; right-preserving "
+            f"joins need a co-partitioned shuffle join, not a broadcast"
+        )
     keys = [keys] if isinstance(keys, str) else list(keys)
     right_keys = (
         keys if right_keys is None

@@ -105,10 +105,14 @@ def shell_bytes(
     command: str,
     data_col: str = "content",
     concurrency: int = 2,
+    allow_failure: bool = False,
 ) -> Dataset:
     """Binary transform: each row's byte payload pipes through its own
     child (one exec per row — for per-document converters like
-    decompressors or format shifters over a binary column)."""
+    decompressors or format shifters over a binary column). A failing
+    child (missing binary, bad flags) raises with its stderr; with
+    ``allow_failure=True`` the row becomes null instead — mirroring
+    :class:`_ShellRunner`'s error handling."""
 
     class Runner:
         def __init__(self):
@@ -120,7 +124,18 @@ def shell_bytes(
                 if blob is None:
                     out.append(None)
                     continue
-                proc = subprocess.run(self.argv, input=bytes(blob), stdout=subprocess.PIPE)
+                proc = subprocess.run(
+                    self.argv, input=bytes(blob), stdout=subprocess.PIPE,
+                    stderr=subprocess.PIPE,
+                )
+                if proc.returncode != 0:
+                    if allow_failure:
+                        out.append(None)
+                        continue
+                    raise RuntimeError(
+                        f"shell command failed ({proc.returncode}): "
+                        f"{proc.stderr.decode(errors='replace')[:500]}"
+                    )
                 out.append(proc.stdout)
             i = t.column_names.index(data_col)
             return t.set_column(i, data_col, pa.array(out, type=pa.binary()))

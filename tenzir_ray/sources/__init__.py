@@ -42,6 +42,11 @@ def read_parquet(
     filter — the predicate is ALWAYS applied, never silently dropped.
     Reference store: ``plugins/parquet/parquet.cpp:379-478``.
     """
+    # normalize to a concrete list BEFORE any peeking: if `paths` were a
+    # generator, peeking its first element below would consume it and the
+    # subsequent read_parquet would silently drop the first file
+    if not isinstance(paths, str):
+        paths = list(paths)
     flt = None
     if predicate is not None:
         # footer-only schema peek so temporal literals coerce and the
@@ -50,7 +55,7 @@ def read_parquet(
         try:
             import pyarrow.parquet as _pq
 
-            first = paths if isinstance(paths, str) else next(iter(paths))
+            first = paths if isinstance(paths, str) else paths[0]
             import os as _os
 
             if _os.path.isdir(first):

@@ -192,3 +192,18 @@ def test_bloom_pruned_repo_read(binlog_dir):
     assert (rows["repo"] == repo).sum() == (full["repo"] == repo).sum()
     missing_repo = "repo-zz-not-there"
     assert len(lake.read(repo=missing_repo).input_files()) < len(man["files"])
+
+
+def test_pruned_column_read(binlog_dir):
+    # ADVICE r2: Lake.read(columns=...) must project the declared schema
+    # too, else Ray's parquet datasource raises ArrowInvalid
+    root = fresh_lake("colprune")
+    replay(binlog_dir, root, num_buckets=4, chunk_shards=1)
+    lake = Lake(root)
+    t = lake.read(columns=["repo", "path"]).to_arrow_refs()
+    import ray as _ray
+    import pyarrow as _pa
+
+    got = _pa.concat_tables([_ray.get(r) for r in t])
+    assert got.column_names == ["repo", "path"]
+    assert got.num_rows == Lake(root).to_arrow().num_rows

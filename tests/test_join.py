@@ -66,3 +66,14 @@ def test_asof_join_directions(ray_session):
         ray.data.from_arrow(ltab), rtab, on="t", direction="forward"
     ).to_pandas().sort_values("t")
     assert [None if pd.isna(v) else v for v in fwd["v"]] == ["a", "b", None]
+
+
+def test_lookup_join_rejects_right_preserving(ray_session):
+    # ADVICE r2: right-preserving join types are wrong per batch
+    import pytest
+
+    ltab = pa.table({"k": [1, 2]})
+    dim = pa.table({"k": [1], "v": ["a"]})
+    for how in ("right outer", "full outer", "right semi", "right anti"):
+        with pytest.raises(ValueError, match="left-preserving"):
+            lookup_join(ray.data.from_arrow(ltab), dim, keys="k", how=how)

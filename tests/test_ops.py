@@ -216,3 +216,18 @@ def test_sessionize_and_tumbling():
 
     tc = tumbling_count(ray.data.from_arrow(t), "user_id", "ts", width="1h").to_pandas()
     assert tc["n"].sum() == 5 and len(tc) == 4
+
+
+def test_read_parquet_generator_paths(ray_session, tmp_path):
+    # ADVICE r2: a generator `paths` must not lose its first file to the
+    # footer-schema peek
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tenzir_ray.sources import read_parquet as src_read_parquet
+
+    f1, f2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(pa.table({"x": [1, 2]}), f1)
+    pq.write_table(pa.table({"x": [3, 4]}), f2)
+    ds = src_read_parquet((p for p in [f1, f2]), predicate="x > 0")
+    assert ds.count() == 4

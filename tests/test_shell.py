@@ -41,3 +41,17 @@ def test_shell_bytes_per_row(ray_session):
     out = shell_bytes(ds, "tr a-z A-Z", concurrency=1).to_pandas()
     got = [None if v is None else bytes(v) for v in out["content"]]
     assert sorted(x for x in got if x) == [b"ABC", b"DEF"] and None in got
+
+
+def test_shell_bytes_failure_raises(ray_session):
+    import pytest
+
+    ds = ray.data.from_arrow(pa.table({"content": pa.array([b"x"], type=pa.binary())}))
+    with pytest.raises(Exception, match="shell command failed|RayTaskError"):
+        shell_bytes(ds, "no_such_binary_xyz", concurrency=1).materialize()
+
+
+def test_shell_bytes_allow_failure_nulls(ray_session):
+    ds = ray.data.from_arrow(pa.table({"content": pa.array([b"x"], type=pa.binary())}))
+    out = shell_bytes(ds, "no_such_binary_xyz", concurrency=1, allow_failure=True).to_pandas()
+    assert list(out["content"]) == [None]
