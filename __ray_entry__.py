@@ -417,19 +417,31 @@ def _q_lookup_join(sf_dir):
 def _q_asof_join(sf_dir):
     """As-of join: each event attaches the customer's most recent
     order at-or-before the event time (right side pre-aggregated to
-    unique (user, date) so the match is deterministic)."""
-    import pyarrow.parquet as pq
+    unique (user, date) so the match is deterministic).
+
+    The right side is built CLUSTER-SIDE (round-2 verdict item: the
+    former ``pq.read_table`` + pandas groupby ran on the driver over a
+    fact table): a Ray groupby-max reduces orders to the small unique
+    (custkey, date) dimension in the cluster, and only that aggregate
+    is collected for the broadcast."""
+    import ray as _ray
+    from ray.data.aggregate import Max
 
     from tenzir_ray.ops.join import asof_join
 
     ev = read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
-    orders = pq.read_table(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_totalprice"])
-    r = (
-        orders.to_pandas()
-        .groupby(["o_custkey", "o_orderdate"], as_index=False)["o_totalprice"].max()
-        .rename(columns={"o_custkey": "user_id", "o_totalprice": "last_order_price"})
+    r_ds = (
+        read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_totalprice"])
+        .groupby(["o_custkey", "o_orderdate"])
+        .aggregate(Max("o_totalprice", alias_name="last_order_price"))
     )
-    r["ts"] = pd.to_datetime(r.pop("o_orderdate"))
+    r_tbl = pa.concat_tables(
+        [t for t in _ray.get(r_ds.to_arrow_refs()) if t.num_rows]
+    )
+    r = r_tbl.to_pandas().rename(columns={"o_custkey": "user_id"})
+    # date32 round-trips as datetime64[s]; merge_asof needs the exact
+    # unit of the left's timestamp[us] key
+    r["ts"] = pd.to_datetime(r.pop("o_orderdate")).astype("datetime64[us]")
     r["last_order_ts"] = r["ts"]
     out = asof_join(ev, pa.Table.from_pandas(r, preserve_index=False), on="ts", by="user_id")
     return _round_cols(out, ["last_order_price"], 2)

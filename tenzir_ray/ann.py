@@ -27,7 +27,11 @@ _PYARROW = dict(batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 def _to_matrix(col) -> np.ndarray:
-    return np.stack(col.to_pandas().to_numpy()).astype(np.float64)
+    # reshape straight off the Arrow list buffers — the former
+    # to_pandas() hop boxed every vector into a Python object per batch
+    from tenzir_ray.arrowutil import list_matrix
+
+    return list_matrix(col, dtype=np.float64)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -144,9 +148,11 @@ class IVFIndex:
 
         import pyarrow.parquet as pq
 
+        from tenzir_ray.arrowutil import list_matrix
+
         t = pq.read_table(os.path.join(path, "centroids.parquet"))
         order = np.argsort(t["list_id"].to_numpy())
-        cents = np.stack(t["centroid"].to_pandas().to_numpy())[order]
+        cents = list_matrix(t["centroid"])[order]
         return cls(cents)
 
 

@@ -33,3 +33,21 @@ def str_slices(col):
         else:
             for i in range(len(chunk)):
                 yield data[offs[i] : offs[i + 1]]
+
+
+def list_matrix(col, dtype=np.float64) -> np.ndarray:
+    """(n, d) numpy matrix from a FixedSizeList / list / large_list
+    column of numbers with uniform row length — reshaped straight off
+    the Arrow child buffer (no pandas hop, no per-row Python objects).
+    Non-uniform row lengths raise rather than silently mis-reshaping."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_fixed_size_list(arr.type):
+        d = arr.type.list_size
+    else:
+        offsets = np.asarray(arr.offsets)
+        lens = np.diff(offsets)
+        d = int(lens[0]) if len(lens) else 0
+        if not np.all(lens == d):
+            raise ValueError("list column rows have non-uniform lengths")
+    flat = np.asarray(arr.flatten())
+    return flat.reshape(len(arr), d).astype(dtype, copy=False)

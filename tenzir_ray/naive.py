@@ -96,10 +96,29 @@ def embedding_losers(
 
 
 def pan_pseudonym(ip_str: str, seed: str = "") -> str:
-    """Prefix-preserving pseudonym of one IPv4/IPv6 address: bit i of
-    the output is ``orig_bit_i XOR (blake2b(key, orig_bits[:i]) & 1)``
-    — the Crypto-PAn construction over a keyed BLAKE2 PRF."""
-    key = hashlib.sha256(("tzr-pan:" + seed).encode()).digest()
+    """Prefix-preserving AES Crypto-PAn pseudonym, straight from the
+    PAPER's definition (Xu et al.): output bit i is ``orig_bit_i XOR
+    MSB(AES(first i orig bits || pad bits i..127))`` where the 32-byte
+    key's first half is the AES key and the encrypted second half is
+    the pad. Built on bit STRINGS — structurally independent of the
+    operator's incremental byte-masking loop — so a loop/mask bug in
+    either implementation breaks the oracle equality. Seed parsing is
+    duplicated here (hex pairs, strtoul semantics) on purpose."""
+    from tenzir_ray.aes import encrypt_block, expand_key
+
+    hexdigits = set("0123456789abcdefABCDEF")
+    key = bytearray(32)
+    for i in range(min(32, (len(seed) + 1) // 2)):
+        b = seed[2 * i : 2 * i + 2]
+        if len(b) == 1:
+            b += "0"
+        run = 0
+        while run < len(b) and b[run] in hexdigits:
+            run += 1
+        key[i] = int(b[:run], 16) if run else 0
+    rk = expand_key(bytes(key[:16]))
+    pad = encrypt_block(rk, bytes(key[16:32]))
+    pad_bits = "".join(format(b, "08b") for b in pad)
     try:
         ip = ipaddress.ip_address(ip_str)
     except ValueError:
@@ -108,7 +127,8 @@ def pan_pseudonym(ip_str: str, seed: str = "") -> str:
     src = format(int(ip), f"0{nbits}b")
     out = []
     for i in range(nbits):
-        prf = hashlib.blake2b(src[:i].encode(), key=key, digest_size=1).digest()[0] & 1
+        inp = int(src[:i] + pad_bits[i:], 2).to_bytes(16, "big")
+        prf = encrypt_block(rk, inp)[0] >> 7
         out.append(str(int(src[i]) ^ prf))
     return str(ipaddress.ip_address(int("".join(out), 2)))
 

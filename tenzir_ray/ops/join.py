@@ -86,14 +86,25 @@ def asof_join(
     by_cols: Optional[List[str]] = (
         None if by is None else [by] if isinstance(by, str) else list(by)
     )
-    rdf = right.to_pandas().sort_values(on, kind="mergesort").reset_index(drop=True)
-    r_ref = ray.put(rdf)
+    # broadcast the right side UNSORTED (one ray.put of Arrow bytes);
+    # the sort happens once per ACTOR in __init__, not on the driver
+    # and not per batch
+    r_ref = ray.put(right)
+    cpus = int(ray.cluster_resources().get("CPU", 4))
 
-    def apply(df: pd.DataFrame) -> pd.DataFrame:
-        r = ray.get(r_ref)
-        left = df.sort_values(on, kind="mergesort").reset_index(drop=True)
-        return pd.merge_asof(
-            left, r, on=on, by=by_cols, direction=direction, tolerance=tolerance
-        )
+    class AsofJoiner:
+        def __init__(self):
+            r = ray.get(r_ref)
+            self.rdf = r.to_pandas().sort_values(on, kind="mergesort").reset_index(drop=True)
 
-    return ds.map_batches(apply, batch_format="pandas", batch_size=None)
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            left = df.sort_values(on, kind="mergesort").reset_index(drop=True)
+            return pd.merge_asof(
+                left, self.rdf, on=on, by=by_cols, direction=direction,
+                tolerance=tolerance,
+            )
+
+    return ds.map_batches(
+        AsofJoiner, concurrency=(1, max(2, cpus // 4)), num_cpus=0.5,
+        batch_format="pandas", batch_size=None,
+    )

@@ -106,3 +106,80 @@ def test_dedup_minhash_join_fallback(monkeypatch):
         docs_ds(), "text", "doc_id", num_perm=64, bands=16, threshold=0.5
     ).to_pandas()
     assert sorted(fast["doc_id"]) == sorted(joined["doc_id"])
+
+
+def test_hamming_index_pairs_matches_naive():
+    # VERDICT r2: scale-adaptive simhash bucketing must stay EXACT.
+    # Force the multi-index recursion with a tiny cap and compare to
+    # the naive all-pairs relation.
+    import numpy as np
+
+    from tenzir_ray.dedup import _hamming_index_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 1 << 48, 40, dtype=np.uint64)  # low 48 bits free
+    hv = []
+    for b in base:
+        hv.append(b)
+        for _ in range(3):  # near neighbors within the free region
+            flip = np.uint64(0)
+            for p in rng.choice(48, rng.integers(1, 4), replace=False):
+                flip |= np.uint64(1 << int(p))
+            hv.append(b ^ flip)
+    hv = np.unique(np.array(hv, dtype=np.uint64))
+    free_mask = (1 << 48) - 1
+
+    def naive(hs, mh):
+        out = set()
+        for i in range(len(hs)):
+            for j in range(i + 1, len(hs)):
+                if bin(int(hs[i]) ^ int(hs[j])).count("1") <= mh:
+                    out.add((i, j))
+        return out
+
+    for mh in (1, 2, 3):
+        got = _hamming_index_pairs(hv, mh, free_mask, cap=8)  # force recursion
+        assert got == naive(hv, mh), f"mismatch at max_hamming={mh}"
+
+
+def test_hamming_index_pairs_degenerate_bucket_bounded():
+    # VERDICT r2 done-criterion: a degenerate single-prefix corpus must
+    # complete without a single quadratic task. 120k distinct hashes
+    # sharing one 16-bit prefix: all-pairs would be 1.4e10 ops; the
+    # recursion completes in seconds with every leaf under the cap.
+    import time
+
+    import numpy as np
+
+    from tenzir_ray.dedup import _MAX_SIMHASH_DISTINCT, _hamming_index_pairs
+
+    rng = np.random.default_rng(7)
+    hv = np.unique(rng.integers(0, 1 << 48, 120_000, dtype=np.uint64))
+    t0 = time.monotonic()
+    pairs = _hamming_index_pairs(hv, 3, (1 << 48) - 1, cap=_MAX_SIMHASH_DISTINCT)
+    elapsed = time.monotonic() - t0
+    assert elapsed < 120, f"degenerate bucket took {elapsed:.0f}s"
+    # sanity: random 48-bit hashes have essentially no radius-3 pairs
+    assert len(pairs) < 50
+
+
+def test_dedup_simhash_degenerate_prefix_pipeline(ray_session):
+    # end-to-end: every doc shares simhash top bits (one hot bucket per
+    # rotation); a small per-task cap exercises the recursion inside
+    # the Ray tasks and the result must still match the default path
+    import pyarrow as pa
+    import ray
+
+    from tenzir_ray.dedup import dedup_simhash
+
+    texts = [f"common shared prefix words alpha beta {i}" for i in range(60)]
+    texts += [texts[0], texts[1]]  # exact dupes -> hamming 0
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    base = dedup_simhash(
+        ray.data.from_arrow(t), "text", "doc_id", max_hamming=3
+    ).to_pandas()
+    small_cap = dedup_simhash(
+        ray.data.from_arrow(t), "text", "doc_id", max_hamming=3, max_distinct_per_task=4
+    ).to_pandas()
+    assert sorted(base["doc_id"]) == sorted(small_cap["doc_id"])
+    assert len(base) <= len(texts) - 2

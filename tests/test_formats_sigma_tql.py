@@ -130,7 +130,9 @@ def test_tql_pipeline():
 
 
 def test_pseudonymize_prefix_preserving():
-    pan = CryptoPanLike(fields=["ip"], seed="s1")
+    # seeds are HEX strings per the reference's parse_seed_string
+    # (pseudonymize.cpp:141-154) — non-hex chars parse to 0
+    pan = CryptoPanLike(fields=["ip"], seed="aa11")
     a = pan.anonymize_ip("10.1.2.3")
     b = pan.anonymize_ip("10.1.2.99")   # shares /24
     c = pan.anonymize_ip("192.168.0.1")
@@ -139,11 +141,11 @@ def test_pseudonymize_prefix_preserving():
     assert a.rsplit(".", 1)[0] == b.rsplit(".", 1)[0]
     assert a.rsplit(".", 1)[0] != c.rsplit(".", 1)[0]
     # deterministic per seed, different across seeds
-    assert CryptoPanLike(fields=["ip"], seed="s1").anonymize_ip("10.1.2.3") == a
-    assert CryptoPanLike(fields=["ip"], seed="s2").anonymize_ip("10.1.2.3") != a
+    assert CryptoPanLike(fields=["ip"], seed="aa11").anonymize_ip("10.1.2.3") == a
+    assert CryptoPanLike(fields=["ip"], seed="bb22").anonymize_ip("10.1.2.3") != a
 
     ds = ray.data.from_arrow(pa.table({"ip": ["10.1.2.3", None, "bogus"]}))
-    out = pseudonymize(ds, ["ip"], seed="s1", concurrency=1).to_pandas()
+    out = pseudonymize(ds, ["ip"], seed="aa11", concurrency=1).to_pandas()
     assert out["ip"].tolist()[0] == a
     assert out["ip"].tolist()[2] == "bogus"  # non-IP passes through
 
@@ -181,3 +183,56 @@ def test_route_schemas():
     assert sorted(alerts["sev"]) == [1, 3]
     assert "q" not in alerts.columns  # dns-only field dropped from alert branch
     assert routed["suricata.dns"].count() == 1
+
+
+def test_aes_fips197_vectors():
+    # FIPS-197 Appendix B + C.1 known-answer vectors
+    from tenzir_ray.aes import encrypt_block, expand_key
+
+    rk = expand_key(bytes.fromhex("000102030405060708090a0b0c0d0e0f"))
+    assert (
+        encrypt_block(rk, bytes.fromhex("00112233445566778899aabbccddeeff")).hex()
+        == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    )
+    rk2 = expand_key(bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c"))
+    assert (
+        encrypt_block(rk2, bytes.fromhex("3243f6a8885a308d313198a2e0370734")).hex()
+        == "3925841d02dc09fbdc118597196a0b32"
+    )
+
+
+def test_cryptopan_published_vectors():
+    # public node-cryptopan test data — the same vectors the
+    # reference's libtenzir/test/ip.cpp:181-330 checks, so the PRF is
+    # wire-compatible with other Crypto-PAn implementations
+    from tenzir_ray.ops.anonymize import CryptoPan
+
+    pan3 = CryptoPan(bytes(range(32)))
+    for orig, anon in {
+        "192.0.2.1": "2.90.93.17",
+        "0.0.0.0": "254.152.65.220",
+        "10.0.1.128": "246.35.190.47",
+        "127.0.0.1": "168.227.160.61",
+        "255.255.255.255": "56.0.15.254",
+        "148.88.132.153": "106.38.130.153",
+        "148.88.133.200": "106.38.131.223",
+    }.items():
+        assert pan3.anonymize_ip(orig) == anon
+    seed_1 = bytes([21, 34, 23, 141, 51, 164, 207, 128, 19, 10, 91, 22, 73, 144,
+                    125, 16, 216, 152, 143, 131, 121, 121, 101, 39, 98, 87, 76,
+                    45, 42, 132, 34, 2])
+    pan1 = CryptoPan(seed_1)
+    assert pan1.anonymize_ip("128.11.68.132") == "135.242.180.132"
+    assert pan1.anonymize_ip("::1") == "78ff:f001:9fc0:20df:8380:b1f1:704:ed"
+    assert pan1.anonymize_ip("2001:db8::1") == "4401:2bc:603f:d91d:27f:ff8e:e6f1:dc1e"
+
+
+def test_cryptopan_naive_oracle_agrees():
+    # the paper-style bit-string reference (naive.py) and the
+    # operator's incremental byte-masking loop must agree bit-for-bit
+    from tenzir_ray import naive
+    from tenzir_ray.ops.anonymize import CryptoPanLike
+
+    op = CryptoPanLike(fields=["ip"], seed="bench")
+    for a in ("10.0.3.7", "10.0.3.8", "192.168.1.1", "2001:db8::5", "0.0.0.0"):
+        assert op.anonymize_ip(a) == naive.pan_pseudonym(a, seed="bench")
