@@ -493,6 +493,35 @@ def _q_tumbling_counts(sf_dir):
     return tumbling_count(ds, key="user_id", ts_col="ts", width="1h", out_col="n")
 
 
+def _q_hopping_counts(sf_dir):
+    from tenzir_ray.ops.window import hopping_count
+
+    ds = read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    return hopping_count(
+        ds, key="user_id", ts_col="ts", width="1h", hop="15min", out_col="n"
+    )
+
+
+def _q_tql_sessionize_hot(sf_dir):
+    """TQL-driven sessionize over the hot-key ordered-merge path
+    (sessionize_sorted): distributed (key, ts) sort + per-block flags +
+    scalar boundary fix — no single giant pandas group per key."""
+    from tenzir_ray import tql
+
+    ds = read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_id", "ts"])
+    return tql.run(
+        "sessionize user_id ts 1h --sorted | select user_id, event_id, session_id",
+        ds,
+    )
+
+
+def _q_tql_dedup_exact(sf_dir):
+    from tenzir_ray import tql
+
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "n_chars"])
+    return tql.run("dedup-exact text doc_id", ds)
+
+
 def _q_where_matches(sf_dir):
     ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return ops.select(ops.where(ds, 'text matches "spark"'), ["doc_id"])
@@ -628,6 +657,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_events_orders": _q_asof_join,
         "sessionize_events": _q_sessionize,
         "tumbling_counts": _q_tumbling_counts,
+        "hopping_counts": _q_hopping_counts,
+        "tql_sessionize_hot": _q_tql_sessionize_hot,
+        "tql_dedup_exact": _q_tql_dedup_exact,
     }
 
 
@@ -1007,6 +1039,29 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_counts": """
             SELECT user_id, date_trunc('hour', ts) AS ts, count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "hopping_counts": """
+            SELECT user_id,
+                   TIMESTAMP '1970-01-01' + to_seconds(CAST(
+                       floor(epoch(ts)/900)*900 - 900*g.i AS BIGINT)) AS ts,
+                   count(*) AS n
+            FROM events, (SELECT unnest(range(0, 4)) AS i) g
+            GROUP BY 1, 2
+        """,
+        "tql_sessionize_hot": """
+            SELECT user_id, event_id,
+                   CAST(SUM(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                 > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_s
+                FROM events)
+        """,
+        "tql_dedup_exact": """
+            SELECT doc_id, text, n_chars FROM documents
+            QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
         """,
         "lang_id_docs": _LANG_ID_ORACLE,
         "dedup_minhash_docs": _MINHASH_ORACLE,

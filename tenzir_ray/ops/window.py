@@ -15,7 +15,10 @@ from typing import Optional
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from ray.data import Dataset
+
+_UNIT_NS = {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}
 
 
 def sessionize(
@@ -62,3 +65,148 @@ def tumbling_count(
 
     ds = floor_time(ds, ts_col, width)
     return ds.groupby([key, ts_col]).aggregate(Count(alias_name=out_col))
+
+
+def hopping_count(
+    ds: Dataset,
+    key: str,
+    ts_col: str,
+    width: str = "1h",
+    hop: str = "15min",
+    out_col: str = "n",
+) -> Dataset:
+    """Hopping (sliding) window counts per key: windows of ``width``
+    start every ``hop``; each event lands in ``width/hop`` overlapping
+    windows. Re-expressed Ray-Data-first as explode + groupby: a
+    vectorized ``map_batches`` emits one (key, window_start) row per
+    covering window — integer arithmetic on the timestamp's native
+    unit, no per-row Python — and a hash groupby counts. The explode
+    multiplies rows by width/hop BEFORE the shuffle, but each row is
+    just (key, int64), so the exchange stays key+timestamp-sized."""
+    from ray.data.aggregate import Count
+
+    width_td, hop_td = pd.Timedelta(width), pd.Timedelta(hop)
+    if width_td.value <= 0 or hop_td.value <= 0 or width_td.value % hop_td.value:
+        raise ValueError("width must be a positive multiple of hop")
+    k = width_td.value // hop_td.value
+
+    def explode(t: pa.Table) -> pa.Table:
+        typ = t.schema.field(ts_col).type
+        hop_u = hop_td.value // _UNIT_NS[typ.unit]
+        vv = np.asarray(t[ts_col].cast(pa.int64()).combine_chunks())
+        base = (vv // hop_u) * hop_u
+        starts = np.concatenate([base - i * hop_u for i in range(k)])
+        keys = t[key].combine_chunks()
+        return pa.table(
+            {
+                key: pa.concat_arrays([keys] * k),
+                ts_col: pa.array(starts).cast(typ),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True,
+                              batch_size=None)
+    return exploded.groupby([key, ts_col]).aggregate(Count(alias_name=out_col))
+
+
+def sessionize_sorted(
+    ds: Dataset,
+    key: str,
+    ts_col: str,
+    gap: str = "30min",
+    out_col: str = "session_id",
+    tiebreak: Optional[str] = None,
+) -> Dataset:
+    """Hot-key scale path for :func:`sessionize`: instead of one pandas
+    group per key (a hot key = one giant group in one task), sort the
+    WHOLE dataset by (key, ts) with Ray's distributed range-partition
+    sort, compute session flags per sorted block in parallel, and fix
+    the block boundaries with a driver-side pass over per-block
+    metadata (first/last key+ts and the boundary key's local session
+    count — a handful of scalars per block, never rows).
+
+    Output rows/columns match :func:`sessionize` exactly; only the
+    execution shape differs."""
+    import ray
+
+    gap_td = pd.Timedelta(gap)
+    sort_keys = [key, ts_col] + ([tiebreak] if tiebreak else [])
+
+    ctx = ray.data.DataContext.get_current()
+    prev_order = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        mat = ds.sort(sort_keys).materialize()
+        refs = mat.to_arrow_refs()
+    finally:
+        ctx.execution_options.preserve_order = prev_order
+
+    def _flags(df: pd.DataFrame):
+        """new-session flag per row of a sorted frame (block-local:
+        row 0 always starts a session)."""
+        new_key = df[key].ne(df[key].shift())
+        big_gap = (df[ts_col].diff() > gap_td).fillna(False)
+        flags = (new_key | big_gap).to_numpy()
+        flags[0] = True
+        return flags
+
+    @ray.remote(num_cpus=0.25)
+    def _meta(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        df = t.select([key, ts_col]).to_pandas()
+        flags = _flags(df)
+        first_key, last_key = df[key].iloc[0], df[key].iloc[-1]
+        first_mask = (df[key] == first_key).to_numpy()
+        return {
+            "first_key": first_key,
+            "first_ts": df[ts_col].iloc[0],
+            "last_key": last_key,
+            "last_ts": df[ts_col].iloc[-1],
+            "sessions_first": int(flags[first_mask].sum()),
+            "sessions_last": int(flags[(df[key] == last_key).to_numpy()].sum()),
+        }
+
+    metas = ray.get([_meta.remote(r) for r in refs])
+
+    # driver walk: per block, the session-id offset for its FIRST key
+    # (every other key starts inside the block and needs none)
+    offsets = []
+    prev_key = prev_ts = None
+    prev_cum = 0
+    for m in metas:
+        if m is None:
+            offsets.append(0)
+            continue
+        if prev_key is not None and m["first_key"] == prev_key:
+            merged = (m["first_ts"] - prev_ts) <= gap_td
+            off = prev_cum - 1 if merged else prev_cum
+        else:
+            off = 0
+        offsets.append(off)
+        if m["last_key"] == m["first_key"]:
+            prev_cum = off + m["sessions_first"]
+        else:
+            prev_cum = m["sessions_last"]
+        prev_key, prev_ts = m["last_key"], m["last_ts"]
+
+    @ray.remote
+    def _assign(t: pa.Table, off: int) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], type=pa.int64()))
+        df = t.to_pandas()
+        flags = _flags(df)
+        # per-key session numbering from 0: cumulative starts minus the
+        # key's first cumulative value
+        starts = np.cumsum(flags)
+        key_vals = df[key].to_numpy()
+        new_key = np.ones(len(df), dtype=bool)
+        new_key[1:] = key_vals[1:] != key_vals[:-1]
+        key_base = np.maximum.accumulate(np.where(new_key, starts - 1, 0))
+        sid = starts - 1 - key_base
+        sid[key_vals == key_vals[0]] += off
+        df[out_col] = sid.astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out_refs = [_assign.remote(r, off) for r, off in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(out_refs)

@@ -56,7 +56,8 @@ def _builtin_inventory() -> Dict[str, list]:
                 "enumerate", "batch", "repeat", "measure", "pass", "discard",
                 "summarize", "sort", "top", "rare", "sigma", "pseudonymize",
                 "compress", "decompress", "serve", "decapsulate", "shell",
-                "lookup_join", "asof_join",
+                "lookup_join", "asof_join", "sessionize", "tumbling", "hopping",
+                "dedup-exact", "dedup-minhash", "dedup-simhash", "dedup-embedding",
             ]
             + sorted(OPERATORS)
         ),

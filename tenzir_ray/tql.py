@@ -11,7 +11,9 @@ string compiles to a ``Dataset -> Dataset`` function composed from
 
 Supported operators: where select drop rename put extend replace head
 tail taste unique enumerate sort top rare summarize hash flatten
-unflatten batch repeat measure pass.
+unflatten batch repeat measure pass shell decapsulate sigma
+lookup-join asof-join sessionize tumbling hopping dedup-exact
+dedup-minhash dedup-simhash dedup-embedding.
 """
 
 from __future__ import annotations
@@ -164,6 +166,75 @@ def _compile_stage(stage: str) -> Callable[[Dataset], Dataset]:
             return sigma(ds, _rule)
 
         return _sigma
+    if op == "sessionize":
+        # sessionize <key> <ts> [gap] [--sorted]
+        parts = rest.split()
+        skey, sts = parts[0], parts[1]
+        gap = next((p for p in parts[2:] if not p.startswith("--")), "30min")
+        hot = "--sorted" in parts
+
+        def _sess(ds, _k=skey, _t=sts, _g=gap, _hot=hot):
+            from tenzir_ray.ops.window import sessionize, sessionize_sorted
+
+            fn = sessionize_sorted if _hot else sessionize
+            return fn(ds, _k, _t, gap=_g)
+
+        return _sess
+    if op == "tumbling":
+        # tumbling <key> <ts> [width]
+        parts = rest.split()
+
+        def _tumb(ds, _k=parts[0], _t=parts[1], _w=parts[2] if len(parts) > 2 else "1h"):
+            from tenzir_ray.ops.window import tumbling_count
+
+            return tumbling_count(ds, _k, _t, width=_w)
+
+        return _tumb
+    if op == "hopping":
+        # hopping <key> <ts> [width] [hop]
+        parts = rest.split()
+
+        def _hop(ds, _k=parts[0], _t=parts[1],
+                 _w=parts[2] if len(parts) > 2 else "1h",
+                 _h=parts[3] if len(parts) > 3 else "15min"):
+            from tenzir_ray.ops.window import hopping_count
+
+            return hopping_count(ds, _k, _t, width=_w, hop=_h)
+
+        return _hop
+    if op == "asof-join":
+        # asof-join <parquet_path> on <ts> [by <key>]
+        m = re.match(r"(\S+)\s+on\s+(\S+)(?:\s+by\s+(\S+))?$", rest)
+        if not m:
+            raise ValueError("asof-join wants: <parquet> on <ts> [by <key>]")
+
+        def _aj(ds, _p=m.group(1), _on=m.group(2), _by=m.group(3)):
+            import pyarrow.parquet as pq
+
+            from tenzir_ray.ops.join import asof_join
+
+            return asof_join(ds, pq.read_table(_p), on=_on, by=_by)
+
+        return _aj
+    if op in ("dedup-exact", "dedup-minhash", "dedup-simhash", "dedup-embedding"):
+        # dedup-* <value_col> <id_col>
+        parts = rest.split()
+        if len(parts) != 2:
+            raise ValueError(f"{op} wants: <value_col> <id_col>")
+        col, idc = parts
+
+        def _dd(ds, _op=op, _c=col, _i=idc):
+            from tenzir_ray import dedup as _d
+
+            if _op == "dedup-exact":
+                return _d.dedup_exact(ds, _c, _i)
+            if _op == "dedup-minhash":
+                return _d.dedup_minhash_lsh(ds, _c, _i, threshold=0.8)
+            if _op == "dedup-simhash":
+                return _d.dedup_simhash(ds, _c, _i, max_hamming=2)
+            return _d.dedup_embedding(ds, _c, _i, threshold=0.999)
+
+        return _dd
     if op == "lookup-join":
         # lookup-join <parquet_path> on <key>[=<right_key>]
         m = re.match(r"(\S+)\s+on\s+(\S+?)(?:=(\S+))?$", rest)

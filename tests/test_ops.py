@@ -231,3 +231,100 @@ def test_read_parquet_generator_paths(ray_session, tmp_path):
     pq.write_table(pa.table({"x": [3, 4]}), f2)
     ds = src_read_parquet((p for p in [f1, f2]), predicate="x > 0")
     assert ds.count() == 4
+
+
+def test_hopping_count_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from tenzir_ray.ops.window import hopping_count
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 25, n),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 72 * 3600, n), unit="s"),
+        }
+    )
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    got = (
+        hopping_count(ray.data.from_arrow(t), "user_id", "ts", width="1h", hop="15min")
+        .to_pandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    duckdb.register("ev", df)
+    exp = duckdb.sql(
+        """
+        SELECT user_id,
+               TIMESTAMP '1970-01-01'
+                 + to_seconds(CAST(floor(epoch(ts)/900)*900 - 900*g.i AS BIGINT)) AS ts,
+               count(*) AS n
+        FROM ev, (SELECT unnest(range(0, 4)) AS i) g
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        got[["user_id", "ts", "n"]].astype({"n": "int64"}),
+        exp.astype({"n": "int64"}),
+        check_dtype=False,
+    )
+
+
+def test_hopping_count_rejects_bad_width(ray_session):
+    import pandas as pd
+    import pytest
+    import pyarrow as pa
+    import ray
+
+    from tenzir_ray.ops.window import hopping_count
+
+    ds = ray.data.from_arrow(pa.table({"k": [1], "ts": [pd.Timestamp("2024-01-01")]}))
+    with pytest.raises(ValueError, match="multiple of hop"):
+        hopping_count(ds, "k", "ts", width="1h", hop="7min")
+
+
+def test_sessionize_sorted_matches_groupby_on_skew(ray_session):
+    # VERDICT r2: per-key ordered-merge path for hot keys — one key
+    # holds 80% of rows across many blocks; output must equal the
+    # groupby(map_groups) path exactly
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from tenzir_ray.ops.window import sessionize, sessionize_sorted
+
+    rng = np.random.default_rng(11)
+    n = 6000
+    hot = rng.random(n) < 0.8
+    users = np.where(hot, 7, rng.integers(0, 40, n))
+    # distinct second offsets -> no ts ties, so no tiebreak ambiguity
+    offs = rng.choice(14 * 24 * 3600, n, replace=False)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "user_id": users,
+            "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(offs, unit="s"),
+        }
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(13)
+    a = (
+        sessionize(ds, "user_id", "ts", gap="1h")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        sessionize_sorted(ds, "user_id", "ts", gap="1h")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert a["session_id"].tolist() == b["session_id"].tolist()
+    assert a["session_id"].max() > 3  # the hot key really has many sessions
