@@ -37,7 +37,7 @@ BENCH_REPOS = 500
 BENCH_PATHS = 100
 BENCH_SHARD = 125_000
 BENCH_CONTENT = int(os.environ.get("BENCH_CONTENT", "1024"))
-BENCH_BINLOG = f"/tmp/tzr_bench_binlog_{BENCH_EVENTS}_{BENCH_REPOS}_{BENCH_CONTENT}"
+BENCH_BINLOG = f"/tmp/tzr_bench_binlog_{BENCH_EVENTS}_{BENCH_REPOS}_{BENCH_CONTENT}_rg32"
 BENCH_LAKE = f"/tmp/tzr_bench_lake_{NUM_CPUS}"
 NUM_BUCKETS = 64
 

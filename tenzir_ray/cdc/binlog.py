@@ -65,6 +65,7 @@ def generate_binlog(
     evolution_offset: Optional[int] = None,
     missing_lang_fraction: float = 0.05,
     codec: str = "zstd",
+    row_group_size: int = 32_768,
 ) -> Dict:
     """Generate the binlog; returns (and writes) the shard metadata.
 
@@ -157,7 +158,10 @@ def generate_binlog(
             pq_sanitize(write_table),
             os.path.join(out_dir, fname),
             compression=codec,  # kafka-analog logs commonly use snappy/lz4
-            row_group_size=65_536,
+            # 32Ki-row groups: the row group is the direct exchange's
+            # map-unit granularity (cdc/exchange.py) — finer groups cut
+            # wave quantization when units ~ cluster CPUs
+            row_group_size=row_group_size,
         )
         shards.append(
             {

@@ -86,7 +86,11 @@ def parse_events(batch: pa.Table, num_buckets: int) -> pa.Table:
     return batch.append_column("_key", pa.array(keys, type=pa.uint64()))
 
 
-_SHUFFLE_CODEC = "zstd"
+# lz4 for in-flight (shuffle) compression: measured on the bench
+# content corpus, lz4 compresses 22x faster than zstd at ~77% of its
+# ratio — shuffle bytes are transient, so trade a little size for a
+# lot of map/merge CPU (at-rest lake files stay zstd in the sink)
+_SHUFFLE_CODEC = "lz4"
 
 
 def compress_content(batch: pa.Table, col: str = "content") -> pa.Table:
@@ -317,11 +321,16 @@ def replay(
     if man["num_buckets"] != num_buckets:
         num_buckets = man["num_buckets"]  # bucket count is a lake property
 
+    # sources that expose splittable storage units take the direct
+    # push-based exchange (no sort-based groupby; see cdc/exchange.py);
+    # in-memory/broker sources keep the Dataset merge path
+    use_direct = hasattr(source, "map_units")
     pending = source.pending(man["applied_through"])
     stats = {"chunks": 0, "events": 0, "wall_sec": 0.0}
     chunk_no = 0
-    pool = ThreadPoolExecutor(1) if prefetch else None
+    pool = ThreadPoolExecutor(1) if prefetch and not use_direct else None
     next_future = None  # (chunk_index, Future[MaterializedDataset])
+    next_phase = None  # (chunk_index, MapPhase) — direct-path prefetch
     # running skew histogram: element-wise max of the last chunks'
     # per-bucket delta counts (sticky, so a salted bucket whose count
     # shrinks BECAUSE of salting stays flagged)
@@ -350,6 +359,75 @@ def replay(
                 # events as processed
                 if next_future is not None and next_future[0] == i:
                     next_future = None  # discard the stale prefetch
+                if next_phase is not None and next_phase[0] == i:
+                    next_phase = None
+                continue
+            if use_direct:
+                from tenzir_ray.cdc import exchange as ex
+
+                t0 = time.perf_counter()
+                cpus = ex._cluster_cpus()
+                hot_now = {b: c for b, c in histogram.items() if c > salt_threshold}
+                target_parts = max(1, min(num_buckets, 2 * cpus))
+                if next_phase is not None and next_phase[0] == i:
+                    phase = next_phase[1]  # maps already ran during chunk N-1's merge
+                    next_phase = None
+                else:
+                    phase = ex.submit_map_phase(
+                        source.map_units(group, 2 * cpus),
+                        CdcTypedStage(
+                            num_buckets=num_buckets,
+                            hwm={int(k): v for k, v in cur["hwm"].items()},
+                            applied_through=cur["applied_through"],
+                            enrich=enrich,
+                        ),
+                        ex.plan_parts(num_buckets, list(hot_now), target_parts),
+                        num_buckets,
+                    )
+                # prefetch: submit chunk N+1's map tasks now; they run
+                # while chunk N's reduce holds the cluster's attention.
+                # Safe under the WAL contract (see docstring): its
+                # duplicate filter uses applied_through = end(N).
+                if prefetch and i + chunk_shards < len(pending):
+                    nxt = pending[i + chunk_shards : i + 2 * chunk_shards]
+                    next_phase = (
+                        i + chunk_shards,
+                        ex.submit_map_phase(
+                            source.map_units(nxt, 2 * cpus),
+                            CdcTypedStage(
+                                num_buckets=num_buckets,
+                                hwm=None,
+                                applied_through=group[-1]["max_offset"],
+                                enrich=enrich,
+                            ),
+                            ex.plan_parts(num_buckets, list(hot_now), target_parts),
+                            num_buckets,
+                        ),
+                    )
+                if crash_before_commit_of_chunk == chunk_no:
+                    ex.apply_chunk_direct(
+                        lake, phase, chunk_id, group[-1]["max_offset"],
+                        events_schema=events_schema, hot=hot_now,
+                        num_salts=num_salts, salt_threshold=salt_threshold,
+                        commit=False,
+                    )
+                    raise RuntimeError(f"injected crash before manifest commit of {chunk_id}")
+                man = ex.apply_chunk_direct(
+                    lake, phase, chunk_id, group[-1]["max_offset"],
+                    events_schema=events_schema, hot=hot_now,
+                    num_salts=num_salts, salt_threshold=salt_threshold,
+                    lineage_extra={"events": n_events},
+                )
+                for b, c in man["lineage"][-1].get("bucket_delta_rows", {}).items():
+                    histogram[int(b)] = max(histogram.get(int(b), 0), int(c))
+                wall = time.perf_counter() - t0
+                man["lineage"][-1].update(
+                    {"wall_sec": round(wall, 3), "events_per_sec": round(n_events / max(wall, 1e-9), 1)}
+                )
+                lake.commit(man)
+                stats["chunks"] += 1
+                stats["events"] += n_events
+                stats["wall_sec"] += wall
                 continue
             t0 = time.perf_counter()
             if next_future is not None and next_future[0] == i:

@@ -156,7 +156,9 @@ class _FinalMerge:
 
         base_rel = self.bucket_files.get(str(bucket))
         if base_rel is not None:
-            base = pq.read_table(os.path.join(self.lake_root, base_rel))
+            # single-threaded: runs inside a 1-CPU merge task (pyarrow's
+            # default pool would use every core on the node)
+            base = pq.read_table(os.path.join(self.lake_root, base_rel), use_threads=False)
             # base rows join the LWW race with their stored commit_seq;
             # 'base' op marks them live (missing fields -> null = the
             # record-cast rule of cast.hpp)
@@ -301,6 +303,37 @@ def apply_chunk(
     t_merge = _time.perf_counter() - t0
 
     # phase 2: single manifest commit on the driver
+    lineage = {
+        "chunk": chunk_id,
+        "buckets_touched": int(len(meta)),
+        "hot_buckets_salted": sorted(hot) if hot else [],
+        "combine_sec": round(t_combine, 3),
+        "salt_setup_sec": round(t_salt, 3),
+        "merge_sec": round(t_merge, 3),
+        **(lineage_extra or {}),
+    }
+    new_man = build_manifest(
+        man, meta, chunk_id, chunk_max_offset, target_json,
+        salt_threshold=salt_threshold, lineage=lineage,
+    )
+    lake.commit(new_man)
+    return new_man
+
+
+def build_manifest(
+    man: Dict,
+    meta,
+    chunk_id: str,
+    chunk_max_offset: int,
+    target_json: list,
+    *,
+    salt_threshold: int,
+    lineage: Dict,
+) -> Dict:
+    """Phase-2 manifest assembly shared by the Dataset merge path and
+    the direct exchange (:mod:`tenzir_ray.cdc.exchange`): fold the
+    per-bucket metadata rows into files/HWMs/histogram and append the
+    lineage entry. Pure — the caller commits."""
     files = dict(man["files"])
     new_hwm = dict(man["hwm"])
     # only potentially-hot buckets enter the lineage histogram — at
@@ -320,25 +353,13 @@ def apply_chunk(
         new_hwm[b] = max(int(new_hwm.get(b, -1)), int(r["max_offset"]))
         if int(r["delta_rows"]) >= hist_floor:
             histogram[b] = int(r["delta_rows"])
-    lineage = {
-        "chunk": chunk_id,
-        "buckets_touched": int(len(meta)),
-        "hot_buckets_salted": sorted(hot) if hot else [],
-        "bucket_delta_rows": histogram,
-        "combine_sec": round(t_combine, 3),
-        "salt_setup_sec": round(t_salt, 3),
-        "merge_sec": round(t_merge, 3),
-        **(lineage_extra or {}),
-    }
-    new_man = {
-        "version": version,
+    return {
+        "version": man["version"] + 1,
         "num_buckets": man["num_buckets"],
         "files": files,
         "hwm": new_hwm,
-        "applied_through": max(applied_through, chunk_max_offset),
+        "applied_through": max(man["applied_through"], chunk_max_offset),
         "applied_chunks": man["applied_chunks"] + [chunk_id],
         "schema": target_json,
-        "lineage": man["lineage"] + [lineage],
+        "lineage": man["lineage"] + [{**lineage, "bucket_delta_rows": histogram}],
     }
-    lake.commit(new_man)
-    return new_man

@@ -79,6 +79,17 @@ class BinlogSource(StreamSource):
             [pq.read_schema(f"{self.binlog_dir}/{s['file']}") for s in shards]
         )
 
+    def map_units(self, shards: List[Dict], target_units: int) -> List:
+        """Row-group-ranged read units for the direct exchange
+        (:mod:`tenzir_ray.cdc.exchange`). Sources that can enumerate
+        splittable storage units expose this; others fall back to the
+        Dataset merge path."""
+        from tenzir_ray.cdc.exchange import plan_map_units
+
+        return plan_map_units(
+            [f"{self.binlog_dir}/{s['file']}" for s in shards], target_units
+        )
+
 
 class MemoryBrokerSource(StreamSource):
     """In-process broker with a Kafka-consumer-shaped API.
