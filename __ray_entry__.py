@@ -493,6 +493,22 @@ def _q_tumbling_counts(sf_dir):
     return tumbling_count(ds, key="user_id", ts_col="ts", width="1h", out_col="n")
 
 
+def _q_shuffle_join(sf_dir):
+    """Big-big co-partitioned hash join (both sides hash-shuffled;
+    no broadcast): lineitem x orders on the order key."""
+    from tenzir_ray.ops.join import shuffle_join
+
+    left = read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
+    )
+    right = read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"])
+    out = shuffle_join(left, right, keys="l_orderkey", right_keys="o_orderkey", how="inner")
+    out = ops.extend(out, {"rev": "l_extendedprice * (1 - l_discount)"})
+    out = ops.select(out, ["l_orderkey", "l_linenumber", "o_orderpriority", "rev"])
+    return _round_cols(out, ["rev"], 2)
+
+
 def _q_hopping_counts(sf_dir):
     from tenzir_ray.ops.window import hopping_count
 
@@ -657,6 +673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_events_orders": _q_asof_join,
         "sessionize_events": _q_sessionize,
         "tumbling_counts": _q_tumbling_counts,
+        "shuffle_join_lineitem_orders": _q_shuffle_join,
         "hopping_counts": _q_hopping_counts,
         "tql_sessionize_hot": _q_tql_sessionize_hot,
         "tql_dedup_exact": _q_tql_dedup_exact,
@@ -1039,6 +1056,11 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_counts": """
             SELECT user_id, date_trunc('hour', ts) AS ts, count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "shuffle_join_lineitem_orders": f"""
+            SELECT l_orderkey, l_linenumber, o_orderpriority,
+                   {_sqlr('l_extendedprice * (1 - l_discount)')} AS rev
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         """,
         "hopping_counts": """
             SELECT user_id,

@@ -120,8 +120,16 @@ def run_queries() -> dict:
         "dedup_minhash_docs",
         "ann_brute_top10",
     ]
+    def load1() -> float:
+        try:
+            with open("/proc/loadavg") as f:
+                return float(f.read().split()[0])
+        except OSError:
+            return -1.0
+
     qs = entrymod.queries()
     out = {}
+    loads = {}
     for name in picks:
         t0 = time.perf_counter()
         res = qs[name](SF_DIR)
@@ -131,6 +139,10 @@ def run_queries() -> dict:
             for b in res.iter_batches(batch_format="pyarrow"):
                 n += b.num_rows
         out[name] = round(time.perf_counter() - t0, 3)
+        # 1-min load right after the query: readings far above our own
+        # worker count mean the wall time above was tenant-contended
+        loads[name] = load1()
+    out["_load1"] = loads
     return out
 
 

@@ -9,11 +9,10 @@ the Ray-Data-idiomatic way:
 - **Broadcast pattern, stated assumption**: the RIGHT side is a
   dimension table small enough to ``ray.put`` once and read from the
   object store by every task (one copy per node). At 100 TB the left
-  side streams; the right side must stay ~worker-heap-sized. A
-  big-big shuffle join is NOT provided here — co-partitioning both
-  sides by key hash (the dedup reduce-side-join pattern in
-  ``dedup.py``) is the escape hatch when the right side outgrows a
-  broadcast.
+  side streams; the right side must stay ~worker-heap-sized.
+- **Big-big escape hatch**: :func:`shuffle_join` hash-partitions BOTH
+  sides (Ray's native join aggregators) when the right side outgrows
+  a broadcast — the co-partitioned reduce-side join.
 - Per-batch kernels are C-backed: ``pyarrow.Table.join`` (hash join)
   and ``pandas.merge_asof`` (sorted as-of merge).
 """
@@ -64,6 +63,54 @@ def lookup_join(
         return t.join(r, keys=keys, right_keys=right_keys, join_type=how)
 
     return ds.map_batches(apply, **_PYARROW)
+
+
+def shuffle_join(
+    left: Dataset,
+    right: Dataset,
+    keys: Union[str, Sequence[str]],
+    right_keys: Union[str, Sequence[str], None] = None,
+    how: str = "inner",
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """Big-big distributed hash join: BOTH sides are hash-partitioned
+    on the key and each partition pair is joined independently
+    (``ray.data.Dataset.join`` — Ray's native hash-shuffle join
+    aggregators). This is the escape hatch :func:`lookup_join`'s
+    broadcast contract points to: use it when the right side outgrows
+    a worker's heap.
+
+    ``how`` accepts the pyarrow-style names lookup_join uses ('inner',
+    'left outer', 'right outer', 'full outer', 'left semi', ...).
+    ``num_partitions`` defaults to ~2x cluster CPUs — at 100 TB size it
+    so ONE partition pair fits a worker's heap, and reuse one
+    partitioning key across pipeline stages where possible."""
+    mapping = {
+        "inner": "inner",
+        "left outer": "left_outer",
+        "right outer": "right_outer",
+        "full outer": "full_outer",
+        "left semi": "left_semi",
+        "right semi": "right_semi",
+        "left anti": "left_anti",
+        "right anti": "right_anti",
+    }
+    if how not in mapping:
+        raise ValueError(f"unknown join type {how!r}; one of {sorted(mapping)}")
+    keys = (keys,) if isinstance(keys, str) else tuple(keys)
+    right_keys = (
+        keys if right_keys is None
+        else (right_keys,) if isinstance(right_keys, str) else tuple(right_keys)
+    )
+    if num_partitions is None:
+        num_partitions = max(8, 2 * int(ray.cluster_resources().get("CPU", 4)))
+    return left.join(
+        right,
+        join_type=mapping[how],
+        num_partitions=num_partitions,
+        on=keys,
+        right_on=right_keys if right_keys != keys else None,
+    )
 
 
 def asof_join(

@@ -56,7 +56,7 @@ def _builtin_inventory() -> Dict[str, list]:
                 "enumerate", "batch", "repeat", "measure", "pass", "discard",
                 "summarize", "sort", "top", "rare", "sigma", "pseudonymize",
                 "compress", "decompress", "serve", "decapsulate", "shell",
-                "lookup_join", "asof_join", "sessionize", "tumbling", "hopping",
+                "lookup_join", "asof_join", "shuffle_join", "sessionize", "tumbling", "hopping",
                 "dedup-exact", "dedup-minhash", "dedup-simhash", "dedup-embedding",
             ]
             + sorted(OPERATORS)

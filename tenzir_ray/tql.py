@@ -12,8 +12,8 @@ string compiles to a ``Dataset -> Dataset`` function composed from
 Supported operators: where select drop rename put extend replace head
 tail taste unique enumerate sort top rare summarize hash flatten
 unflatten batch repeat measure pass shell decapsulate sigma
-lookup-join asof-join sessionize tumbling hopping dedup-exact
-dedup-minhash dedup-simhash dedup-embedding.
+lookup-join shuffle-join asof-join sessionize tumbling hopping
+dedup-exact dedup-minhash dedup-simhash dedup-embedding.
 """
 
 from __future__ import annotations
@@ -235,6 +235,22 @@ def _compile_stage(stage: str) -> Callable[[Dataset], Dataset]:
             return _d.dedup_embedding(ds, _c, _i, threshold=0.999)
 
         return _dd
+    if op == "shuffle-join":
+        # shuffle-join <parquet_path> on <key>[=<right_key>] [how...]
+        m = re.match(r"(\S+)\s+on\s+(\S+?)(?:=(\S+))?(?:\s+(.+))?$", rest)
+        if not m:
+            raise ValueError("shuffle-join wants: <parquet> on <key>[=<right_key>] [how]")
+        path, key, rkey, how = m.group(1), m.group(2), m.group(3), m.group(4) or "inner"
+
+        def _sj(ds, _p=path, _k=key, _rk=rkey, _h=how):
+            import ray.data
+
+            from tenzir_ray.ops.join import shuffle_join
+
+            return shuffle_join(ds, ray.data.read_parquet(_p), keys=_k,
+                                right_keys=_rk or _k, how=_h)
+
+        return _sj
     if op == "lookup-join":
         # lookup-join <parquet_path> on <key>[=<right_key>]
         m = re.match(r"(\S+)\s+on\s+(\S+?)(?:=(\S+))?$", rest)

@@ -77,3 +77,52 @@ def test_lookup_join_rejects_right_preserving(ray_session):
     for how in ("right outer", "full outer", "right semi", "right anti"):
         with pytest.raises(ValueError, match="left-preserving"):
             lookup_join(ray.data.from_arrow(ltab), dim, keys="k", how=how)
+
+
+def test_shuffle_join_big_big_matches_duckdb(ray_session):
+    # big-big co-partitioned hash join: neither side broadcast
+    import numpy as np
+
+    from tenzir_ray.ops.join import shuffle_join
+
+    rng = np.random.default_rng(5)
+    lt = pa.table({"k": rng.integers(0, 300, 5000), "v": rng.integers(0, 10**6, 5000)})
+    rt = pa.table({"rk": rng.integers(0, 400, 4000), "w": rng.integers(0, 10**6, 4000)})
+    got = (
+        shuffle_join(
+            ray.data.from_arrow(lt).repartition(7),
+            ray.data.from_arrow(rt).repartition(5),
+            keys="k", right_keys="rk", how="inner", num_partitions=8,
+        )
+        .to_pandas().sort_values(["k", "v", "w"]).reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        "SELECT k, v, w FROM lt JOIN rt ON lt.k = rt.rk ORDER BY k, v, w"
+    ).df()
+    assert got[["k", "v", "w"]].astype("int64").equals(exp.astype("int64"))
+
+
+def test_shuffle_join_right_outer(ray_session):
+    # right-preserving types are exactly what the broadcast lookup_join
+    # rejects — the shuffle join must handle them
+    from tenzir_ray.ops.join import shuffle_join
+
+    lt = pa.table({"k": [1, 2], "v": ["a", "b"]})
+    rt = pa.table({"k": [2, 3], "w": ["x", "y"]})
+    got = (
+        shuffle_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                     keys="k", how="right outer", num_partitions=4)
+        .to_pandas().sort_values("w").reset_index(drop=True)
+    )
+    assert got["w"].tolist() == ["x", "y"]
+    assert got.loc[1].isna().any()  # unmatched right row carries null left cols
+
+
+def test_shuffle_join_rejects_unknown_type(ray_session):
+    import pytest
+
+    from tenzir_ray.ops.join import shuffle_join
+
+    t = ray.data.from_arrow(pa.table({"k": [1]}))
+    with pytest.raises(ValueError, match="unknown join type"):
+        shuffle_join(t, t, keys="k", how="sideways")
