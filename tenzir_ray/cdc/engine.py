@@ -368,7 +368,10 @@ def replay(
                 t0 = time.perf_counter()
                 cpus = ex._cluster_cpus()
                 hot_now = {b: c for b, c in histogram.items() if c > salt_threshold}
-                target_parts = max(1, min(num_buckets, 2 * cpus))
+                # ~1 part per CPU: measured 32-cpu A/B (96 units, 3M events):
+                # parts=32 -> 1.97 s vs parts=64 -> 2.77 s — fewer shuffle
+                # objects and a single reduce wave beat finer parts
+                target_parts = max(1, min(num_buckets, cpus))
                 if next_phase is not None and next_phase[0] == i:
                     phase = next_phase[1]  # maps already ran during chunk N-1's merge
                     next_phase = None

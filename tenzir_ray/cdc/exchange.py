@@ -247,15 +247,22 @@ def apply_chunk_direct(
     target_json = schema_to_json(target)
 
     t0 = _time.perf_counter()
+    # salting decision = the running histogram (one-chunk lag). It is
+    # applied at PART granularity at APPLY time — partial LWW is
+    # per-key, so pre-reducing a mixed-bucket part is exactly as
+    # correct as the per-bucket salt, and the decision stays valid for
+    # prefetched map phases whose part plan predates this histogram.
     hot_salted = sorted(
-        b for b, c in (hot or {}).items() if c > salt_threshold and any([b] == p for p in phase.parts)
+        int(b) for b, c in (hot or {}).items()
+        if int(c) > salt_threshold and any(int(b) in p for p in phase.parts)
     )
+    hot_set = set(hot_salted)
     merger_ref = ray.put(
         _FinalMerge(lake.root, {k: v["path"] for k, v in man["files"].items()}, version, target_json)
     )
     meta_refs = []
     for part_ids, unit_refs in zip(phase.parts, phase.refs):
-        if len(part_ids) == 1 and part_ids[0] in hot_salted and len(unit_refs) > 1:
+        if hot_set.intersection(part_ids) and len(unit_refs) > 1:
             groups = [g for g in np.array_split(np.array(unit_refs, dtype=object), num_salts) if len(g)]
             unit_refs = [_partial_reduce.remote(*list(g)) for g in groups]
         meta_refs.append(_merge_part.remote(merger_ref, *unit_refs))

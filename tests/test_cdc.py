@@ -207,3 +207,22 @@ def test_pruned_column_read(binlog_dir):
     got = _pa.concat_tables([_ray.get(r) for r in t])
     assert got.column_names == ["repo", "path"]
     assert got.num_rows == Lake(root).to_arrow().num_rows
+
+
+def test_skew_salting_multi_unit_partial_reduce():
+    """Direct-exchange salting with MULTIPLE map units per chunk: the
+    flagged parts' slices go through the parallel partial-LWW reduce
+    (cdc/exchange.py _partial_reduce) and the lake must still match the
+    oracle exactly."""
+    bl = "/tmp/tzr_test_binlog_hot_mu"
+    shutil.rmtree(bl, ignore_errors=True)
+    generate_binlog(
+        bl, n_events=6_000, n_repos=3, paths_per_repo=40, shard_events=1_000,
+        content_median=96, zipf_alpha=3.0, row_group_size=256,
+    )
+    root = fresh_lake("hot_mu")
+    replay(bl, root, num_buckets=4, chunk_shards=2, salt_threshold=5, num_salts=3)
+    man = Lake(root).latest_manifest()
+    assert any(e.get("hot_buckets_salted") for e in man["lineage"])
+    res = oracle.compare_states(Lake(root).to_arrow(), oracle.materialize(bl))
+    assert res["ok"], res["mismatches"][:3]
