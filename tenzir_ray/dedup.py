@@ -162,6 +162,48 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+def _shingle_sets(texts: List[Optional[str]], k: int) -> List[np.ndarray]:
+    """Batch-vectorized :func:`_shingle_hashes` — one concatenated
+    codepoint array and one sliding-window/splitmix chain for the whole
+    batch, then per-document ``np.unique`` over each window segment.
+    Identical values to the per-document function."""
+    n = len(texts)
+    out: List[Optional[np.ndarray]] = [None] * n
+    enc = []
+    for t in texts:
+        norm = re.sub(r"\s+", " ", t.lower()).strip() if t else ""
+        enc.append(norm.encode("utf-32-le"))
+    lens = np.array([len(e) // 4 for e in enc], dtype=np.int64)
+    long_idx = np.flatnonzero(lens >= k)
+    for i in np.flatnonzero(lens < k):
+        out[i] = (
+            _shingle_hashes(texts[i], k)
+            if texts[i]
+            else np.array([], dtype=np.uint64)
+        )
+    if long_idx.size == 0:
+        return out
+    big = np.frombuffer(
+        b"".join(enc[i] for i in long_idx), dtype=np.uint32
+    ).astype(np.uint64)
+    seg_lens = lens[long_idx]
+    starts = np.concatenate([[0], np.cumsum(seg_lens)[:-1]])
+    ends = starts + seg_lens
+    win = np.lib.stride_tricks.sliding_window_view(big, k)
+    acc = np.zeros(win.shape[0], dtype=np.uint64)
+    for j in range(k):
+        acc = _splitmix64(acc ^ win[:, j])
+    if long_idx.size > 1:
+        bad = (ends[:-1, None] - np.arange(k - 1, 0, -1)[None, :]).ravel()
+        keep = np.ones(acc.size, dtype=bool)
+        keep[bad] = False
+        acc = acc[keep]
+    vbounds = np.concatenate([[0], np.cumsum(seg_lens - k + 1)])
+    for pos, i in enumerate(long_idx):
+        out[i] = np.unique(acc[vbounds[pos] : vbounds[pos + 1]])
+    return out
+
+
 def _splitmix64_inplace(x: np.ndarray, scratch: np.ndarray) -> None:
     """In-place vectorized splitmix64 over ``x`` using ``scratch`` for
     the shifted operand — zero allocations (see the fault-cost note in
@@ -459,10 +501,7 @@ def dedup_minhash_lsh(
         cand = ray.get(cand_ref)
         mask = pc.fill_null(pc.is_in(t[id_col], value_set=cand), False)
         sub = t.filter(mask)
-        sh = [
-            _shingle_hashes(x or "", shingle_k) if x else np.array([], dtype=np.uint64)
-            for x in sub[text_col].to_pylist()
-        ]
+        sh = _shingle_sets(sub[text_col].to_pylist(), shingle_k)
         return pa.table(
             {
                 id_col: sub[id_col],

@@ -183,3 +183,34 @@ def test_dedup_simhash_degenerate_prefix_pipeline(ray_session):
     ).to_pandas()
     assert sorted(base["doc_id"]) == sorted(small_cap["doc_id"])
     assert len(base) <= len(texts) - 2
+
+
+def test_batch_signatures_match_scalar():
+    """MinHasher.signatures (batched sliding-window + reduceat) must be
+    bit-identical to the per-document scalar path, including boundary
+    windows between concatenated documents and short/empty docs."""
+    h = dedup.MinHasher("text", num_perm=32, shingle_k=5)
+    texts = [
+        None, "", " ", "ab", "abcd", "abcde", "abcdef",
+        "hello world hello world", "the quick brown fox jumps",
+        "aaaaaaaaaaaaaaa", "x" * 4 + "y",  # len == k exactly
+        "päällekkäisyys ja märkä lumi",  # non-ASCII codepoints
+        "repeat " * 40,
+    ]
+    got = h.signatures(texts)
+    want = np.stack([h.signature(t) for t in texts])
+    assert np.array_equal(got, want)
+
+
+def test_batch_shingle_sets_match_scalar():
+    texts = [
+        None, "", "ab", "abcde", "hello world hello world",
+        "päällekkäisyys ja märkä lumi", "z" * 7,
+    ]
+    for k in (3, 5):
+        got = dedup._shingle_sets(texts, k)
+        want = [
+            dedup._shingle_hashes(t or "", k) if t else np.array([], dtype=np.uint64)
+            for t in texts
+        ]
+        assert all(np.array_equal(a, b) for a, b in zip(want, got))
