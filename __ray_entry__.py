@@ -353,6 +353,12 @@ def _q_dedup_minhash(sf_dir):
     return ops.drop(out, ["text"])
 
 
+def _q_dedup_ngram(sf_dir):
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = dedup.dedup_ngram_jaccard(ds, "text", "doc_id", n=3, threshold=0.6)
+    return ops.drop(out, ["text"])
+
+
 def _q_dedup_simhash(sf_dir):
     ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return ops.drop(dedup.dedup_simhash(ds, "text", "doc_id", max_hamming=2), ["text"])
@@ -656,6 +662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_docs": _q_quality,
         "lang_id_docs": _q_lang_id,
         "dedup_minhash_docs": _q_dedup_minhash,
+        "dedup_ngram_jaccard_docs": _q_dedup_ngram,
         "dedup_simhash_docs": _q_dedup_simhash,
         "dedup_embedding_vecs": _q_dedup_embedding,
         "ann_brute_top10": _q_ann_brute,
@@ -852,6 +859,48 @@ _MINHASH_ORACLE = r"""
     SELECT doc_id FROM documents JOIN roots ON doc_id = roots.id
     WHERE doc_id = roots.root
 """
+
+# exact word-3-gram Jaccard (words = [a-z0-9]+ runs of lowered text;
+# docs with 1-2 words contribute their whole word list as one shingle,
+# matching dedup._word_ngram_sets) + recursive-CTE connected
+# components, min-id winner — the exact counterpart of the
+# prefix-filtered engine pipeline (hash collisions aside, which the
+# driver gate would surface)
+_NGRAM_ORACLE = r"""
+    WITH RECURSIVE wd AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS s
+      FROM (
+        SELECT doc_id, w,
+               CAST(unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS INT) AS i
+        FROM wd WHERE len(w) >= 1
+      )
+    ),
+    cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT u, v FROM inter
+      JOIN cnt ca ON ca.doc_id = u JOIN cnt cb ON cb.doc_id = v
+      WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.6
+    ),
+    bi AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT b.v, reach.r FROM reach JOIN bi b ON b.u = reach.id
+    ),
+    roots AS (SELECT id, min(r) AS root FROM reach GROUP BY id)
+    SELECT doc_id FROM documents JOIN roots ON doc_id = roots.id
+    WHERE doc_id = roots.root
+"""
+
 
 # stopword-profile language ID — the same heuristic as text.LangId in
 # pure SQL: first 400 lowered word tokens, per-language stopword hit
@@ -1087,6 +1136,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id_docs": _LANG_ID_ORACLE,
         "dedup_minhash_docs": _MINHASH_ORACLE,
+        "dedup_ngram_jaccard_docs": _NGRAM_ORACLE,
         "dedup_simhash_docs": _simhash_oracle(),
         "dedup_embedding_vecs": _embedding_oracle(),
         "pseudonymize_ips": _pseudonymize_oracle(),

@@ -441,7 +441,6 @@ def dedup_minhash_lsh(
         **{**_PYARROW, "batch_size": 256},
     ).materialize()
     id_type = hashed.schema().base_schema.field(id_col).type
-    sh_type = pa.list_(pa.uint64())
 
     triples = hashed.map_batches(
         lambda t: minhash_bands(t, id_col, bands, num_perm), **_PYARROW
@@ -483,7 +482,38 @@ def dedup_minhash_lsh(
         )
         return _finish_drop(hashed, id_col, edges, ["__minhash"])
 
-    # --- distributed verification ------------------------------------------
+    edges = _verified_edges(
+        hashed,
+        pairs,
+        id_col,
+        id_type,
+        threshold,
+        lambda sub: _shingle_sets(sub[text_col].to_pylist(), shingle_k),
+    )
+    return _finish_drop(hashed, id_col, edges, ["__minhash"])
+
+
+def _verified_edges(
+    hashed: Dataset,
+    pairs: Dataset,
+    id_col: str,
+    id_type: pa.DataType,
+    threshold: float,
+    shingles_of,
+) -> set:
+    """Distributed exact-Jaccard verification of candidate ``(a, b)``
+    pairs — shared by the MinHash+LSH and n-gram-Jaccard dedups.
+
+    ``shingles_of(sub)`` returns the sorted-unique uint64 shingle array
+    per row of ``sub`` (a filtered slice of ``hashed``) — char-k-shingle
+    recompute for MinHash, a stored-column read for n-gram Jaccard.
+
+    Two paths, both shuffling only candidate ids + shingle sets (never
+    the corpus): a broadcast fast path when the candidate set is modest,
+    else a two-leg reduce-side join. Returns the verified edge set
+    (bounded by the true near-duplicate count)."""
+    sh_type = pa.list_(pa.uint64())
+
     # candidate-id set: ids only, broadcast once
     def _pair_ids(t: pa.Table) -> pa.Table:
         a = t["a"].combine_chunks() if isinstance(t["a"], pa.ChunkedArray) else t["a"]
@@ -492,7 +522,7 @@ def dedup_minhash_lsh(
 
     cand_tbl = _collect_small(pairs.map_batches(_pair_ids, **_PYARROW))
     if cand_tbl is None:
-        return _finish_drop(hashed, id_col, set(), ["__minhash"])
+        return set()
     cand_set = set(cand_tbl[id_col].to_pylist())
     cand_ref = ray.put(pc.unique(cand_tbl[id_col].combine_chunks()))
 
@@ -501,7 +531,7 @@ def dedup_minhash_lsh(
         cand = ray.get(cand_ref)
         mask = pc.fill_null(pc.is_in(t[id_col], value_set=cand), False)
         sub = t.filter(mask)
-        sh = _shingle_sets(sub[text_col].to_pylist(), shingle_k)
+        sh = shingles_of(sub)
         return pa.table(
             {
                 id_col: sub[id_col],
@@ -555,12 +585,11 @@ def dedup_minhash_lsh(
             )
 
         edge_tbl = _collect_small(pairs.map_batches(verify_broadcast, **_PYARROW))
-        edges = (
+        return (
             set(zip(edge_tbl["a"].to_pylist(), edge_tbl["b"].to_pylist()))
             if edge_tbl is not None
             else set()
         )
-        return _finish_drop(hashed, id_col, edges, ["__minhash"])
 
     # consumed by both join legs — pin once (candidates only, small)
     cand_sh = hashed.map_batches(extract_shingles, **_PYARROW).materialize()
@@ -679,12 +708,11 @@ def dedup_minhash_lsh(
     verified = leg2.groupby("__jk").map_groups(verify_pairs, batch_format="pyarrow")
 
     edge_tbl = _collect_small(verified)
-    edges = (
+    return (
         set(zip(edge_tbl["a"].to_pylist(), edge_tbl["b"].to_pylist()))
         if edge_tbl is not None
         else set()
     )
-    return _finish_drop(hashed, id_col, edges, ["__minhash"])
 
 
 def _finish_drop(hashed: Dataset, id_col: str, edges: set, drop_cols: List[str]) -> Dataset:
@@ -692,6 +720,170 @@ def _finish_drop(hashed: Dataset, id_col: str, edges: set, drop_cols: List[str])
     roots = _union_find(list(edges))
     losers = {x for x, r in roots.items() if r != x}
     return _drop_losers(hashed, id_col, losers, drop_cols)
+
+
+# ---------------------------------------------------------------------------
+# word n-gram Jaccard (exact, prefix-filtered)
+# ---------------------------------------------------------------------------
+
+_WORD_RE = re.compile(r"[a-z0-9]+")
+
+# pair-emission cap per prefix-shingle group: a shingle frequent enough
+# to land in >this many PREFIXES (rare under prefix filtering — see
+# dedup_ngram_jaccard) emits no pairs beyond the cap; recall knob, like
+# LSH's probabilistic recall, never precision
+_MAX_PREFIX_GROUP = 1024
+
+
+def _word_ngram_sets(texts: List[Optional[str]], n: int) -> List[np.ndarray]:
+    """Per-document sorted-unique uint64 hashes of word n-grams.
+
+    Words are ``[a-z0-9]+`` runs of the lowered text (reproducible in
+    the DuckDB oracle via ``regexp_extract_all``); each n-gram hashes by
+    an n-step splitmix64 chain over per-word crc32s — the same
+    chain-of-mixes construction as :func:`_shingle_hashes`. Documents
+    shorter than ``n`` words contribute ONE shingle (the chain over all
+    their words); empty documents contribute none."""
+    import zlib
+
+    out: List[np.ndarray] = []
+    crc = zlib.crc32
+    for t in texts:
+        words = _WORD_RE.findall(t.lower()) if t else []
+        if not words:
+            out.append(np.array([], dtype=np.uint64))
+            continue
+        wh = np.array([crc(w.encode()) for w in words], dtype=np.uint64)
+        if wh.size < n:
+            acc = np.zeros(1, dtype=np.uint64)
+            for j in range(wh.size):
+                acc = _splitmix64(acc ^ wh[j])
+            out.append(acc)
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(wh, n)
+        acc = np.zeros(win.shape[0], dtype=np.uint64)
+        for j in range(n):
+            acc = _splitmix64(acc ^ win[:, j])
+        out.append(np.unique(acc))
+    return out
+
+
+def dedup_ngram_jaccard(
+    ds: Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> Dataset:
+    """Exact word-n-gram Jaccard near-dedup via PREFIX FILTERING — the
+    deterministic counterpart to :func:`dedup_minhash_lsh` (which trades
+    exactness for fixed-size signatures).
+
+    Candidate generation is the prefix filter of AllPairs/PPJoin
+    (Bayardo et al., WWW'07; Xiao et al., WWW'08): order every
+    document's shingle set by a FIXED global total order (the shingle
+    hash value), and emit only its first ``|S| - ceil(t*|S|) + 1``
+    shingles as index keys. Two sets with Jaccard >= t must overlap by
+    at least ``t * max(|A|, |B|)`` elements (since ``|A ∩ B| >=
+    t * |A ∪ B| >= t * |A|``), so sets sharing NO prefix element cannot
+    reach the threshold — recall is exact, not probabilistic.
+
+    Scale shape (mirrors the other dedups; nothing scans the corpus on
+    the driver):
+
+    1. one ``map_batches`` stamps per-doc shingle sets (``__sh``) +
+       sizes, materialized once;
+    2. only (prefix-shingle, id, size) triples shuffle; the groupby per
+       shingle emits candidate pairs with the PPJoin length filter
+       (``min_size >= ceil(t * max_size)``, exact for Jaccard) applied
+       in-group;
+    3. verification + loser-drop reuse the shared machinery
+       (:func:`_verified_edges`): broadcast fast path or reduce-side
+       join, verified edges only to the driver."""
+    shingled = ds.map_batches(
+        _ngram_kernel(text_col, n), **{**_PYARROW, "batch_size": 1024}
+    ).materialize()
+    id_type = shingled.schema().base_schema.field(id_col).type
+    pair_schema = pa.schema([("a", id_type), ("b", id_type)])
+
+    def emit_prefix(t: pa.Table) -> pa.Table:
+        ids, shs, sizes = [], [], []
+        id_vals = t[id_col].to_pylist()
+        for i, sh in enumerate(t["__sh"].to_pylist()):
+            s = len(sh)
+            if s == 0:
+                continue
+            p = s - int(np.ceil(threshold * s)) + 1
+            ids.extend([id_vals[i]] * p)
+            shs.extend(sh[:p])  # __sh is stored sorted — prefix = smallest hashes
+            sizes.extend([s] * p)
+        return pa.table(
+            {
+                "shingle": pa.array(shs, type=pa.uint64()),
+                id_col: pa.array(ids, type=id_type),
+                "sz": pa.array(sizes, type=pa.int32()),
+            }
+        )
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        m = g.num_rows
+        if m < 2:
+            return pair_schema.empty_table()
+        order = pc.sort_indices(g, sort_keys=[(id_col, "ascending")])
+        g = g.take(order)
+        ids = g[id_col].to_pylist()
+        sz = g["sz"].to_numpy(zero_copy_only=False)
+        a_out, b_out = [], []
+        if m <= _MAX_PREFIX_GROUP:
+            for x in range(m):
+                for y in range(x + 1, m):
+                    lo, hi = (sz[x], sz[y]) if sz[x] <= sz[y] else (sz[y], sz[x])
+                    if lo >= np.ceil(threshold * hi):  # PPJoin length filter
+                        a_out.append(ids[x])
+                        b_out.append(ids[y])
+        else:
+            # degenerate hot shingle (usually a giant identical-doc
+            # cluster): star to the min id — LINEAR candidates, exact
+            # verification downstream; same fallback as the minhash
+            # bucket cap. Cross-pairs between distinct sub-clusters of
+            # one hot group rely on their own rarer prefix shingles.
+            for y in range(1, m):
+                lo, hi = (sz[0], sz[y]) if sz[0] <= sz[y] else (sz[y], sz[0])
+                if lo >= np.ceil(threshold * hi):
+                    a_out.append(ids[0])
+                    b_out.append(ids[y])
+        return pa.table({"a": pa.array(a_out, type=id_type), "b": pa.array(b_out, type=id_type)})
+
+    pairs = (
+        shingled.map_batches(emit_prefix, **_PYARROW)
+        .groupby("shingle")
+        .map_groups(emit_pairs, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def stored_shingles(sub: pa.Table) -> List[np.ndarray]:
+        return [np.asarray(s, dtype=np.uint64) for s in sub["__sh"].to_pylist()]
+
+    edges = _verified_edges(shingled, pairs, id_col, id_type, threshold, stored_shingles)
+    return _finish_drop(shingled, id_col, edges, ["__sh"])
+
+
+def _ngram_kernel(text_col: str, n: int):
+    """Per-process-cached shingle-set stamper (same pattern as
+    :func:`_minhash_kernel`)."""
+    key = ("ngram", text_col, n)
+    if key not in _KERNEL_CACHE:
+        sh_type = pa.list_(pa.uint64())
+
+        def fn(batch: pa.Table) -> pa.Table:
+            sets = _word_ngram_sets(batch[text_col].to_pylist(), n)
+            return batch.append_column(
+                "__sh", pa.array([s.tolist() for s in sets], type=sh_type)
+            )
+
+        _KERNEL_CACHE[key] = fn
+    return _KERNEL_CACHE[key]
 
 
 # ---------------------------------------------------------------------------

@@ -13,7 +13,7 @@ Supported operators: where select drop rename put extend replace head
 tail taste unique enumerate sort top rare summarize hash flatten
 unflatten batch repeat measure pass shell decapsulate sigma
 lookup-join shuffle-join asof-join sessionize tumbling hopping
-dedup-exact dedup-minhash dedup-simhash dedup-embedding.
+dedup-exact dedup-minhash dedup-ngram dedup-simhash dedup-embedding.
 """
 
 from __future__ import annotations
@@ -216,7 +216,7 @@ def _compile_stage(stage: str) -> Callable[[Dataset], Dataset]:
             return asof_join(ds, pq.read_table(_p), on=_on, by=_by)
 
         return _aj
-    if op in ("dedup-exact", "dedup-minhash", "dedup-simhash", "dedup-embedding"):
+    if op in ("dedup-exact", "dedup-minhash", "dedup-ngram", "dedup-simhash", "dedup-embedding"):
         # dedup-* <value_col> <id_col>
         parts = rest.split()
         if len(parts) != 2:
@@ -230,6 +230,8 @@ def _compile_stage(stage: str) -> Callable[[Dataset], Dataset]:
                 return _d.dedup_exact(ds, _c, _i)
             if _op == "dedup-minhash":
                 return _d.dedup_minhash_lsh(ds, _c, _i, threshold=0.8)
+            if _op == "dedup-ngram":
+                return _d.dedup_ngram_jaccard(ds, _c, _i, threshold=0.6)
             if _op == "dedup-simhash":
                 return _d.dedup_simhash(ds, _c, _i, max_hamming=2)
             return _d.dedup_embedding(ds, _c, _i, threshold=0.999)

@@ -214,3 +214,102 @@ def test_batch_shingle_sets_match_scalar():
             for t in texts
         ]
         assert all(np.array_equal(a, b) for a, b in zip(want, got))
+
+
+# ---------------------------------------------------------------------------
+# word n-gram Jaccard (prefix-filtered)
+# ---------------------------------------------------------------------------
+
+
+def _naive_ngram_winners(ids, texts, n, t):
+    """Quadratic exact reference: all-pairs word-n-gram Jaccard +
+    union-find, min-id winner per component."""
+    sets = dedup._word_ngram_sets(texts, n)
+    edges = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if sets[i].size == 0 and sets[j].size == 0:
+                continue  # pipeline never pairs shingle-less docs
+            if dedup._jaccard_sorted(sets[i], sets[j]) >= t:
+                edges.append((ids[i], ids[j]))
+    roots = dedup._union_find(edges)
+    losers = {x for x, r in roots.items() if r != x}
+    return sorted(x for x in ids if x not in losers)
+
+
+def test_dedup_ngram_jaccard_basic():
+    out = dedup.dedup_ngram_jaccard(docs_ds(), "text", "doc_id", n=3, threshold=0.5)
+    ids = sorted(r["doc_id"] for r in out.to_pandas().to_dict("records"))
+    assert ids == _naive_ngram_winners(list(range(5)), [
+        r["text"] for r in docs_ds().take_all()
+    ], 3, 0.5)
+    assert 1 not in ids and 2 not in ids  # exact + near dup collapse
+    assert 0 in ids and 3 in ids and 4 in ids
+
+
+def test_dedup_ngram_matches_naive_random():
+    """Prefix filtering is exact (not probabilistic): on a random
+    corpus with planted near-duplicates the pipeline must equal the
+    quadratic all-pairs reference exactly."""
+    rng = np.random.default_rng(11)
+    vocab = [f"w{c}" for c in range(40)]
+    texts, ids = [], []
+    for i in range(30):
+        words = rng.choice(vocab, size=18)
+        texts.append(" ".join(words))
+        ids.append(i)
+    # planted near-dups: copy with 1-2 word substitutions
+    for j, src in enumerate((0, 7, 13)):
+        w = texts[src].split()
+        w[5] = "mutated"
+        texts.append(" ".join(w))
+        ids.append(30 + j)
+    # short/empty edge docs
+    texts += ["", "one", "two words"]
+    ids += [40, 41, 42]
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    for t in (0.5, 0.8):
+        out = dedup.dedup_ngram_jaccard(ds, "text", "doc_id", n=3, threshold=t)
+        got = sorted(r["doc_id"] for r in out.take_all())
+        assert got == _naive_ngram_winners(ids, texts, 3, t), f"threshold {t}"
+
+
+def test_dedup_ngram_join_fallback(monkeypatch):
+    fast = dedup.dedup_ngram_jaccard(docs_ds(), "text", "doc_id", threshold=0.5).to_pandas()
+    monkeypatch.setattr(dedup, "_BROADCAST_CAND_LIMIT", 0)
+    joined = dedup.dedup_ngram_jaccard(docs_ds(), "text", "doc_id", threshold=0.5).to_pandas()
+    assert sorted(fast["doc_id"]) == sorted(joined["doc_id"])
+
+
+def test_dedup_ngram_hot_group_star(monkeypatch):
+    """A prefix-shingle group bigger than the cap takes the star
+    fallback: LINEAR candidates, and an identical-doc cluster still
+    fully collapses to its min id."""
+    monkeypatch.setattr(dedup, "_MAX_PREFIX_GROUP", 8)
+    texts = ["alpha beta gamma delta epsilon zeta"] * 30 + [
+        "totally different words entirely here now",
+    ]
+    ids = list(range(len(texts)))
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    out = dedup.dedup_ngram_jaccard(ds, "text", "doc_id", threshold=0.6)
+    got = sorted(r["doc_id"] for r in out.take_all())
+    assert got == [0, 30]
+
+
+def test_word_ngram_sets_edges():
+    sets = dedup._word_ngram_sets([None, "", "one", "two words", "a b c", "a b c d"], 3)
+    assert sets[0].size == 0 and sets[1].size == 0
+    assert sets[2].size == 1 and sets[3].size == 1  # <n words -> one shingle
+    assert sets[4].size == 1
+    assert sets[5].size == 2
+    # determinism across calls
+    again = dedup._word_ngram_sets(["a b c d"], 3)[0]
+    assert np.array_equal(sets[5], again)
+
+
+def test_tql_dedup_ngram_stage():
+    from tenzir_ray import tql
+
+    out = tql.run("dedup-ngram text doc_id", docs_ds())
+    ids = sorted(r["doc_id"] for r in out.take_all())
+    assert 0 in ids and 1 not in ids
