@@ -115,6 +115,166 @@ def _sample_fn(on: str, name: str) -> AggregateFn:
     )
 
 
+# ---------------------------------------------------------------------------
+# approximate sketches (beyond the reference — no sketches exist there;
+# these are the 100-TB paths where the exact set/shuffle is the
+# bottleneck). Accumulators round-trip through Arrow blocks between map
+# and reduce, so they are plain bytes/str, never Python containers.
+# ---------------------------------------------------------------------------
+
+_HLL_P = 12  # 2^12 registers -> standard error 1.04/sqrt(4096) ~ 1.6 %
+
+
+def _splitmix64_np(x):
+    import numpy as np
+
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _hll_hash(col: pa.Array):
+    """uint64 hashes of the UNIQUE non-null values of an Arrow array —
+    vectorized splitmix64 for numeric types, blake2b-8 over the value
+    bytes for strings/binary (uniques only, so the loop is bounded by
+    block cardinality, not block size)."""
+    import hashlib
+
+    import numpy as np
+
+    u = pc.unique(col).drop_null()
+    if len(u) == 0:
+        return np.empty(0, dtype=np.uint64)
+    t = u.type
+    if pa.types.is_integer(t):
+        return _splitmix64_np(u.to_numpy(zero_copy_only=False).astype(np.uint64))
+    if pa.types.is_floating(t):
+        return _splitmix64_np(
+            u.to_numpy(zero_copy_only=False).astype(np.float64).view(np.uint64)
+        )
+    b2 = hashlib.blake2b
+    return np.array(
+        [
+            int.from_bytes(b2(str(v).encode(), digest_size=8).digest(), "little")
+            for v in u.to_pylist()
+        ],
+        dtype=np.uint64,
+    )
+
+
+def _hll_fn(on: str, name: str) -> AggregateFn:
+    """HyperLogLog approximate distinct cardinality (Flajolet et al.
+    2007, with the small-range linear-counting correction). The
+    accumulator is the 2^p register vector as ``bytes`` — mergeable by
+    element-wise max, so partial aggregation inside the map side
+    composes exactly and only 4 KiB per group crosses the shuffle
+    (vs every distinct value for exact ``count_distinct``)."""
+    import numpy as np
+
+    m = 1 << _HLL_P
+
+    def acc_block(acc: bytes, blk) -> bytes:
+        h = _hll_hash(_col(blk, on))
+        if h.size == 0:
+            return acc
+        regs = np.frombuffer(acc, dtype=np.uint8).copy()
+        idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+        w = h << np.uint64(_HLL_P)  # remaining 64-p bits, left-aligned in 64
+        # rho = leading zeros of the 64-bit word + 1 (w == 0 -> 64-p+1)
+        _, e = np.frexp(w.astype(np.float64))  # exact for w < 2^53... see below
+        # frexp floats are lossy for w >= 2^53; recompute exactly via bit ops:
+        rho = np.empty(h.size, dtype=np.uint8)
+        nz = w != 0
+        # position of highest set bit of w (64-bit): use 64 - bit_length
+        wl = w[nz]
+        bl = np.zeros(wl.size, dtype=np.int64)
+        v = wl.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            g = v >= (np.uint64(1) << np.uint64(shift))
+            bl[g] += shift
+            v[g] >>= np.uint64(shift)
+        rho[nz] = (64 - bl).astype(np.uint8)  # leading zeros + 1
+        rho[~nz] = 64 - _HLL_P + 1
+        np.maximum.at(regs, idx, rho)
+        return regs.tobytes()
+
+    def merge(a: bytes, b: bytes) -> bytes:
+        return np.maximum(
+            np.frombuffer(a, dtype=np.uint8), np.frombuffer(b, dtype=np.uint8)
+        ).tobytes()
+
+    def finalize(acc: bytes) -> int:
+        regs = np.frombuffer(acc, dtype=np.uint8).astype(np.float64)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        e = alpha * m * m / np.sum(np.exp2(-regs))
+        zeros = int(np.count_nonzero(regs == 0))
+        if e <= 2.5 * m and zeros:
+            e = m * np.log(m / zeros)
+        return int(round(e))
+
+    return AggregateFn(
+        init=lambda k: bytes(m),
+        accumulate_block=acc_block,
+        merge=merge,
+        finalize=finalize,
+        name=name,
+    )
+
+
+_TOPK_K = 32
+
+
+def _topk_fn(on: str, name: str, k: int = _TOPK_K) -> AggregateFn:
+    """Misra–Gries mergeable heavy-hitters sketch (Misra & Gries 1982;
+    merge rule of Agarwal et al. 2013): at most ``k`` counters per
+    accumulator, each reported count undercounts the true count by at
+    most n/(k+1). Finalizes to ``[[value, count], ...]`` sorted by
+    count desc then value — the scale path for "top N of a
+    billion-cardinality column" where an exact groupby-count shuffle
+    is the bottleneck. Accumulator is a JSON string (survives the
+    Arrow block round-trip between map and reduce)."""
+    import json
+
+    def _shrink(d: dict) -> dict:
+        if len(d) <= k:
+            return d
+        cut = sorted(d.values(), reverse=True)[k]
+        return {v: c - cut for v, c in d.items() if c > cut}
+
+    def acc_block(acc: str, blk) -> str:
+        d = json.loads(acc)
+        vc = pc.value_counts(_col(blk, on))
+        for s in vc:
+            v = s["values"].as_py()
+            if v is None:
+                continue
+            v = str(v)
+            d[v] = d.get(v, 0) + s["counts"].as_py()
+        return json.dumps(_shrink(d))
+
+    def merge(a: str, b: str) -> str:
+        da, db = json.loads(a), json.loads(b)
+        for v, c in db.items():
+            da[v] = da.get(v, 0) + c
+        return json.dumps(_shrink(da))
+
+    def finalize(acc: str):
+        d = json.loads(acc)
+        return [[v, c] for v, c in sorted(d.items(), key=lambda x: (-x[1], x[0]))]
+
+    return AggregateFn(
+        init=lambda k_: json.dumps({}),
+        accumulate_block=acc_block,
+        merge=merge,
+        finalize=finalize,
+        name=name,
+    )
+
+
 def _make_agg(func: str, on: Optional[str], alias: str):
     func = func.lower()
     if func == "count":
