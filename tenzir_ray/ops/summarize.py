@@ -8,7 +8,10 @@ flooring of time-typed group keys (Arrow ``FloorTemporal``,
 ``include/tenzir/aggregation_function.hpp:23-58``): count, min, max,
 sum, any, all, distinct, count_distinct, sample
 (``builtins/aggregation-functions/*.cpp``). No approximate sketches
-exist in the reference; aggregates here are exact too.
+exist in the reference; the reference set is exact here too, and we
+ADD two mergeable sketches for the 100-TB scale path
+(``approx_count_distinct`` = HyperLogLog, ``approx_top_k`` =
+Misra-Gries) where exact distinct/top-N would shuffle every value.
 
 Ray Data mapping: ``ds.groupby(keys).aggregate(...)`` — a hash shuffle
 whose map side already combines per block, i.e. the same partial+final
@@ -184,9 +187,8 @@ def _hll_fn(on: str, name: str) -> AggregateFn:
         regs = np.frombuffer(acc, dtype=np.uint8).copy()
         idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
         w = h << np.uint64(_HLL_P)  # remaining 64-p bits, left-aligned in 64
-        # rho = leading zeros of the 64-bit word + 1 (w == 0 -> 64-p+1)
-        _, e = np.frexp(w.astype(np.float64))  # exact for w < 2^53... see below
-        # frexp floats are lossy for w >= 2^53; recompute exactly via bit ops:
+        # rho = leading zeros of the 64-bit word + 1 (w == 0 -> 64-p+1),
+        # computed with exact integer bit ops (floats are lossy >= 2^53)
         rho = np.empty(h.size, dtype=np.uint8)
         nz = w != 0
         # position of highest set bit of w (64-bit): use 64 - bit_length
@@ -299,11 +301,16 @@ def _make_agg(func: str, on: Optional[str], alias: str):
         return _distinct_fn(on, alias, count_only=True)
     if func == "sample":
         return _sample_fn(on, alias)
+    if func == "approx_count_distinct":
+        return _hll_fn(on, alias)
+    if func == "approx_top_k":
+        return _topk_fn(on, alias)
     raise ValueError(f"unknown aggregation function: {func}")
 
 
 AGGREGATE_FUNCTIONS = (
-    "count sum min max mean std any all distinct count_distinct sample".split()
+    "count sum min max mean std any all distinct count_distinct sample"
+    " approx_count_distinct approx_top_k".split()
 )
 
 _RESOLUTION_RE = re.compile(r"^\s*(\d+)\s*(ns|us|ms|s|sec|min|m|h|hour|d|day)\s*$")

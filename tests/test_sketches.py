@@ -1,0 +1,93 @@
+"""Approximate-sketch aggregations (HLL, Misra-Gries) — beyond the
+reference (it has no sketches); these are the 100-TB paths where the
+exact set/shuffle becomes the bottleneck."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from tenzir_ray import ops
+
+
+def _make_ds(values, key=None, blocks=8):
+    cols = {"v": values}
+    if key is not None:
+        cols["k"] = key
+    t = pa.table(cols)
+    n = len(values)
+    step = max(1, n // blocks)
+    return ray.data.from_arrow([t.slice(i, step) for i in range(0, n, step)])
+
+
+def test_hll_int_cardinality():
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 20_000, size=60_000)  # ~19k distinct expected
+    true = len(np.unique(vals))
+    ds = _make_ds(vals.tolist())
+    out = ops.summarize(ds, aggs={"acd": ("approx_count_distinct", "v")}).take_all()
+    est = out[0]["acd"]
+    assert abs(est - true) / true < 0.05, (est, true)
+
+
+def test_hll_strings_and_exact_small_range():
+    # small-range linear counting: low cardinality must be near-exact
+    vals = [f"user-{i % 37}" for i in range(5000)]
+    ds = _make_ds(vals)
+    out = ops.summarize(ds, aggs={"acd": ("approx_count_distinct", "v")}).take_all()
+    assert abs(out[0]["acd"] - 37) <= 1
+
+
+def test_hll_grouped_and_null_safe():
+    vals, keys = [], []
+    for i in range(4000):
+        keys.append("a" if i % 2 else "b")
+        vals.append(None if i % 97 == 0 else i % (500 if i % 2 else 50))
+    ds = _make_ds(vals, key=keys)
+    rows = {
+        r["k"]: r["acd"]
+        for r in ops.summarize(
+            ds, aggs={"acd": ("approx_count_distinct", "v")}, by="k"
+        ).take_all()
+    }
+    # odd i mod 500 -> 250 odd residues; even i mod 50 -> 25 even residues
+    assert abs(rows["a"] - 250) / 250 < 0.05
+    assert abs(rows["b"] - 25) <= 2
+
+
+def test_topk_heavy_hitters():
+    # skewed corpus: heavy values must surface in order with counts
+    # within the Misra-Gries bound n/(k+1)
+    vals = ["hot"] * 5000 + ["warm"] * 2000 + ["mild"] * 800
+    vals += [f"cold-{i}" for i in range(600)]
+    rng = np.random.default_rng(7)
+    order = rng.permutation(len(vals))
+    vals = [vals[i] for i in order]
+    ds = _make_ds(vals, blocks=10)
+    out = ops.summarize(ds, aggs={"top": ("approx_top_k", "v")}).take_all()
+    top = out[0]["top"]
+    n = len(vals)
+    bound = n / 33  # k = 32
+    got = {v: c for v, c in top}
+    assert [v for v, _ in top[:3]] == ["hot", "warm", "mild"]
+    for name, true in (("hot", 5000), ("warm", 2000), ("mild", 800)):
+        assert true - bound <= got[name] <= true, (name, got[name])
+
+
+def test_topk_grouped():
+    vals = (["x"] * 30 + ["y"] * 10) + (["z"] * 25 + ["w"] * 5)
+    keys = ["g1"] * 40 + ["g2"] * 30
+    ds = _make_ds(vals, key=keys, blocks=4)
+    rows = {
+        r["k"]: r["top"]
+        for r in ops.summarize(ds, aggs={"top": ("approx_top_k", "v")}, by="k").take_all()
+    }
+    assert rows["g1"][0] == ["x", 30] and rows["g1"][1] == ["y", 10]
+    assert rows["g2"][0] == ["z", 25] and rows["g2"][1] == ["w", 5]
+
+
+def test_sketches_via_tql():
+    from tenzir_ray import tql
+
+    ds = _make_ds([i % 100 for i in range(3000)])
+    out = tql.run("summarize acd=approx_count_distinct(v)", ds).take_all()
+    assert abs(out[0]["acd"] - 100) <= 2
