@@ -90,6 +90,33 @@ def plan_parts(num_buckets: int, hot: Sequence[int], target_parts: int) -> List[
 
 # -- remote kernels ----------------------------------------------------------
 
+_ALLOC_TUNED = False
+
+
+def _tune_allocator() -> None:
+    """Once per worker process: stretch jemalloc's dirty-page decay so
+    Arrow's alloc/free cycles reuse already-mapped pages instead of
+    returning them to the kernel between tasks. Measured on this host
+    (BENCH/host_ceiling_probes_r03.json): at 32-way concurrency the
+    map tasks spend as much time in the KERNEL as in user code —
+    page-fault/zone-lock churn from ~130 MB of transient allocations
+    per task — and that, not CPU, is the >8-cpu scaling ceiling.
+    Cost: dirty pages stay resident up to the decay window (bounded by
+    per-worker peak, the price a throughput engine wants to pay).
+    ``TENZIR_RAY_ALLOC_DECAY_MS=0`` restores the pyarrow default."""
+    global _ALLOC_TUNED
+    if _ALLOC_TUNED:
+        return
+    _ALLOC_TUNED = True
+    import os
+
+    ms = int(os.environ.get("TENZIR_RAY_ALLOC_DECAY_MS", "600000"))
+    if ms > 0:
+        try:
+            pa.jemalloc_set_decay_ms(ms)
+        except (NotImplementedError, OSError):  # non-jemalloc builds
+            pass
+
 
 @ray.remote
 def _map_unit(unit, stage, parts_flat: np.ndarray, parts_off: np.ndarray, num_buckets: int):
@@ -97,6 +124,8 @@ def _map_unit(unit, stage, parts_flat: np.ndarray, parts_off: np.ndarray, num_bu
     Arrow slice per part (rows grouped by bucket; zero-copy slice
     concat — data is written to the object store once)."""
     import pyarrow.parquet as pq
+
+    _tune_allocator()
 
     path, rgs = unit
     pf = pq.ParquetFile(path)
@@ -145,6 +174,7 @@ def _partial_reduce(*slices: pa.Table) -> pa.Table:
 def _merge_part(merger, *slices: pa.Table) -> pa.Table:
     """Final merge for every bucket present in this part's slices;
     returns the concatenated per-bucket metadata rows (never data)."""
+    _tune_allocator()
     tables = [s for s in slices if s.num_rows]
     if not tables:
         return _empty_meta()
