@@ -800,7 +800,15 @@ def dedup_ngram_jaccard(
        in-group;
     3. verification + loser-drop reuse the shared machinery
        (:func:`_verified_edges`): broadcast fast path or reduce-side
-       join, verified edges only to the driver."""
+       join, verified edges only to the driver.
+
+    Cost note vs MinHash: exactness means the materialized dataset
+    carries full shingle sets (``__sh``, ~8 B x words-per-doc) instead
+    of a fixed 64-hash signature — roughly doubling the pinned bytes.
+    At extreme corpus sizes, drop ``__sh`` after prefix emission and
+    recompute candidate shingles in ``_verified_edges``'s extractor
+    (the MinHash path shows the pattern); kept inline here because one
+    extra pass over every doc usually costs more than pinning."""
     shingled = ds.map_batches(
         _ngram_kernel(text_col, n), **{**_PYARROW, "batch_size": 1024}
     ).materialize()
