@@ -728,6 +728,15 @@ def _finish_drop(hashed: Dataset, id_col: str, edges: set, drop_cols: List[str])
 
 _WORD_RE = re.compile(r"[a-z0-9]+")
 
+
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """Concatenated [0..c) ranges for each c in ``counts`` — the
+    vectorized equivalent of ``np.concatenate([np.arange(c) for c in
+    counts])``."""
+    total = int(counts.sum())
+    out_starts = np.cumsum(counts) - counts  # output offset of each segment
+    return np.arange(total, dtype=np.int64) - np.repeat(out_starts, counts)
+
 # pair-emission cap per prefix-shingle group: a shingle frequent enough
 # to land in >this many PREFIXES (rare under prefix filtering — see
 # dedup_ngram_jaccard) emits no pairs beyond the cap; recall knob, like
@@ -816,21 +825,24 @@ def dedup_ngram_jaccard(
     pair_schema = pa.schema([("a", id_type), ("b", id_type)])
 
     def emit_prefix(t: pa.Table) -> pa.Table:
-        ids, shs, sizes = [], [], []
-        id_vals = t[id_col].to_pylist()
-        for i, sh in enumerate(t["__sh"].to_pylist()):
-            s = len(sh)
-            if s == 0:
-                continue
-            p = s - int(np.ceil(threshold * s)) + 1
-            ids.extend([id_vals[i]] * p)
-            shs.extend(sh[:p])  # __sh is stored sorted — prefix = smallest hashes
-            sizes.extend([s] * p)
+        # fully vectorized over the Arrow list buffers: sizes from the
+        # offsets, prefix lengths p = s - ceil(t*s) + 1, then one
+        # repeat/arange gather of the first p (smallest — __sh is
+        # stored sorted) hashes per doc
+        col = t["__sh"].combine_chunks()
+        offs = np.asarray(col.offsets)
+        flat = np.asarray(col.values) if len(col.values) else np.empty(0, np.uint64)
+        sizes = np.diff(offs)
+        p = np.maximum(sizes - np.ceil(threshold * sizes).astype(np.int64) + 1, 0)
+        p = np.minimum(p, sizes)  # empty docs -> 0
+        take = np.repeat(offs[:-1], p) + _ranges(p)
+        doc_idx = np.repeat(np.arange(len(sizes)), p)
+        ids = t[id_col].combine_chunks().take(pa.array(doc_idx, type=pa.int64()))
         return pa.table(
             {
-                "shingle": pa.array(shs, type=pa.uint64()),
-                id_col: pa.array(ids, type=id_type),
-                "sz": pa.array(sizes, type=pa.int32()),
+                "shingle": pa.array(flat[take], type=pa.uint64()),
+                id_col: ids,
+                "sz": pa.array(np.repeat(sizes, p).astype(np.int32)),
             }
         )
 

@@ -250,12 +250,12 @@ def _topk_fn(on: str, name: str, k: int = _TOPK_K) -> AggregateFn:
     def acc_block(acc: str, blk) -> str:
         d = json.loads(acc)
         vc = pc.value_counts(_col(blk, on))
-        for s in vc:
-            v = s["values"].as_py()
-            if v is None:
-                continue
-            v = str(v)
-            d[v] = d.get(v, 0) + s["counts"].as_py()
+        vals = vc.field("values").to_pylist()  # block-cardinality-bounded
+        cnts = vc.field("counts").to_pylist()
+        for v, c in zip(vals, cnts):
+            if v is not None:
+                v = str(v)
+                d[v] = d.get(v, 0) + c
         return json.dumps(_shrink(d))
 
     def merge(a: str, b: str) -> str:
