@@ -737,6 +737,10 @@ def _ranges(counts: np.ndarray) -> np.ndarray:
     out_starts = np.cumsum(counts) - counts  # output offset of each segment
     return np.arange(total, dtype=np.int64) - np.repeat(out_starts, counts)
 
+# shingle-hash bucket count for candidate grouping (bounds Ray groupby
+# group count; shuffle volume is unchanged)
+_NGRAM_SHINGLE_BUCKETS = 4096
+
 # pair-emission cap per prefix-shingle group: a shingle frequent enough
 # to land in >this many PREFIXES (rare under prefix filtering — see
 # dedup_ngram_jaccard) emits no pairs beyond the cap; recall knob, like
@@ -838,46 +842,67 @@ def dedup_ngram_jaccard(
         take = np.repeat(offs[:-1], p) + _ranges(p)
         doc_idx = np.repeat(np.arange(len(sizes)), p)
         ids = t[id_col].combine_chunks().take(pa.array(doc_idx, type=pa.int64()))
+        sh = flat[take]
         return pa.table(
             {
-                "shingle": pa.array(flat[take], type=pa.uint64()),
+                "shingle": pa.array(sh, type=pa.uint64()),
+                # group key = shingle hash bucket, NOT the raw shingle:
+                # most shingles index a single doc, and a groupby over
+                # millions of 1-row groups pays Ray's per-group cost for
+                # nothing — 4096 buckets keep the shuffle volume
+                # identical while the per-shingle segmentation happens
+                # vectorized inside each reduce task
+                "sbucket": pa.array((sh % np.uint64(_NGRAM_SHINGLE_BUCKETS)).astype(np.int64)),
                 id_col: ids,
                 "sz": pa.array(np.repeat(sizes, p).astype(np.int32)),
             }
         )
 
     def emit_pairs(g: pa.Table) -> pa.Table:
-        m = g.num_rows
-        if m < 2:
+        # one task per shingle hash bucket: sort by (shingle, id), find
+        # the per-shingle segments, and touch Python only for segments
+        # with >= 2 members (true candidate-producing shingles)
+        if g.num_rows < 2:
             return pair_schema.empty_table()
-        order = pc.sort_indices(g, sort_keys=[(id_col, "ascending")])
+        order = pc.sort_indices(
+            g, sort_keys=[("shingle", "ascending"), (id_col, "ascending")]
+        )
         g = g.take(order)
+        sh = g["shingle"].to_numpy(zero_copy_only=False)
+        bounds = np.concatenate([[0], np.flatnonzero(np.diff(sh)) + 1, [len(sh)]])
+        seg_len = np.diff(bounds)
+        multi = np.flatnonzero(seg_len >= 2)
+        if not multi.size:
+            return pair_schema.empty_table()
         ids = g[id_col].to_pylist()
         sz = g["sz"].to_numpy(zero_copy_only=False)
         a_out, b_out = [], []
-        if m <= _MAX_PREFIX_GROUP:
-            for x in range(m):
-                for y in range(x + 1, m):
-                    lo, hi = (sz[x], sz[y]) if sz[x] <= sz[y] else (sz[y], sz[x])
-                    if lo >= np.ceil(threshold * hi):  # PPJoin length filter
-                        a_out.append(ids[x])
+        for si in multi:
+            lo_i, m = int(bounds[si]), int(seg_len[si])
+            if m <= _MAX_PREFIX_GROUP:
+                for x in range(lo_i, lo_i + m):
+                    for y in range(x + 1, lo_i + m):
+                        lo, hi = (sz[x], sz[y]) if sz[x] <= sz[y] else (sz[y], sz[x])
+                        if lo >= np.ceil(threshold * hi):  # PPJoin length filter
+                            a_out.append(ids[x])
+                            b_out.append(ids[y])
+            else:
+                # degenerate hot shingle (usually a giant identical-doc
+                # cluster): star to the min id — LINEAR candidates,
+                # exact verification downstream; same fallback as the
+                # minhash bucket cap. Cross-pairs between distinct
+                # sub-clusters of one hot shingle rely on their own
+                # rarer prefix shingles.
+                for y in range(lo_i + 1, lo_i + m):
+                    lo, hi = (sz[lo_i], sz[y]) if sz[lo_i] <= sz[y] else (sz[y], sz[lo_i])
+                    if lo >= np.ceil(threshold * hi):
+                        a_out.append(ids[lo_i])
                         b_out.append(ids[y])
-        else:
-            # degenerate hot shingle (usually a giant identical-doc
-            # cluster): star to the min id — LINEAR candidates, exact
-            # verification downstream; same fallback as the minhash
-            # bucket cap. Cross-pairs between distinct sub-clusters of
-            # one hot group rely on their own rarer prefix shingles.
-            for y in range(1, m):
-                lo, hi = (sz[0], sz[y]) if sz[0] <= sz[y] else (sz[y], sz[0])
-                if lo >= np.ceil(threshold * hi):
-                    a_out.append(ids[0])
-                    b_out.append(ids[y])
         return pa.table({"a": pa.array(a_out, type=id_type), "b": pa.array(b_out, type=id_type)})
 
     pairs = (
         shingled.map_batches(emit_prefix, **_PYARROW)
-        .groupby("shingle")
+        .groupby("sbucket")
         .map_groups(emit_pairs, batch_format="pyarrow")
         .materialize()
     )
