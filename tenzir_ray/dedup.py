@@ -337,9 +337,16 @@ def _minhash_kernel(text_col: str, num_perm: int, shingle_k: int):
 
 
 def minhash_bands(batch: pa.Table, id_col: str, bands: int, num_perm: int) -> pa.Table:
-    """Explode signatures to (band_id, band_hash, id) rows — the LSH
+    """Explode signatures to (bucket, band_key, id) rows — the LSH
     bucket key. Output is tiny (ids + hashes), so the groupby that
-    follows never shuffles document payloads."""
+    follows never shuffles document payloads.
+
+    ``bkey`` folds (band, band_hash) into one splitmix64 key; the Ray
+    groupby runs on ``bbucket = bkey % 4096`` (bounding per-group
+    overhead — most LSH buckets hold ONE doc) and the per-bucket
+    segmentation happens vectorized inside the reduce task. A bkey
+    collision across distinct (band, hash) buckets merely emits extra
+    CANDIDATE pairs (odds ~2^-64; exact verification rejects them)."""
     sigs = np.asarray(batch["__minhash"].combine_chunks().flatten()).reshape(-1, num_perm)
     rows_per = num_perm // bands
     ids = (
@@ -347,19 +354,19 @@ def minhash_bands(batch: pa.Table, id_col: str, bands: int, num_perm: int) -> pa
         if isinstance(batch[id_col], pa.ChunkedArray)
         else batch[id_col]
     )
-    out_band, out_hash = [], []
+    out_key = []
     for b in range(bands):
         # column-wise splitmix64 chain over the band's signature rows —
         # rows_per vectorized passes, no per-row Python hashing
-        acc = np.zeros(len(sigs), dtype=np.uint64)
+        acc = np.full(len(sigs), np.uint64(b + 1), dtype=np.uint64)
         for j in range(b * rows_per, (b + 1) * rows_per):
             acc = _splitmix64(acc ^ sigs[:, j])
-        out_hash.append(acc.view(np.int64))
-        out_band.append(np.full(len(sigs), b, dtype=np.int32))
+        out_key.append(acc)
+    keys = np.concatenate(out_key)
     return pa.table(
         {
-            "band": pa.array(np.concatenate(out_band)),
-            "bhash": pa.array(np.concatenate(out_hash)),
+            "bbucket": pa.array((keys % np.uint64(_NGRAM_SHINGLE_BUCKETS)).astype(np.int64)),
+            "bkey": pa.array(keys, type=pa.uint64()),
             id_col: pa.concat_arrays([ids] * bands),
         }
     )
@@ -446,29 +453,47 @@ def dedup_minhash_lsh(
         lambda t: minhash_bands(t, id_col, bands, num_perm), **_PYARROW
     )
 
+    pair_schema = pa.schema([("a", id_type), ("b", id_type)])
+
     def emit_pairs(g: pa.Table) -> pa.Table:
-        ids = sorted(g[id_col].to_pylist())
-        if len(ids) < 2:
-            return pa.table({"a": pa.array([], type=id_type), "b": pa.array([], type=id_type)})
-        # ALL within-bucket pairs: star-linking only to the min id loses
-        # true duplicate pairs whenever the min-id member is a minhash
-        # false positive. Quadratic blowup is capped: oversized buckets
-        # (hash collisions of near-identical content) fall back to the
-        # star so one degenerate bucket can't emit millions of pairs.
+        # one task per LSH-bucket HASH GROUP (bbucket): segment by the
+        # exact bucket key vectorized, Python only for multi-member
+        # segments (real candidate buckets)
+        if g.num_rows < 2:
+            return pair_schema.empty_table()
+        order = pc.sort_indices(
+            g, sort_keys=[("bkey", "ascending"), (id_col, "ascending")]
+        )
+        g = g.take(order)
+        bk = g["bkey"].to_numpy(zero_copy_only=False)
+        bounds = np.concatenate([[0], np.flatnonzero(np.diff(bk)) + 1, [len(bk)]])
+        seg_len = np.diff(bounds)
+        multi = np.flatnonzero(seg_len >= 2)
+        if not multi.size:
+            return pair_schema.empty_table()
+        ids = g[id_col].to_pylist()
         a_out, b_out = [], []
-        if len(ids) <= _MAX_FULL_PAIR_BUCKET:
-            for x in range(len(ids)):
-                for y in range(x + 1, len(ids)):
-                    a_out.append(ids[x])
-                    b_out.append(ids[y])
-        else:
-            a_out = [ids[0]] * (len(ids) - 1)
-            b_out = ids[1:]
+        for si in multi:
+            lo, m = int(bounds[si]), int(seg_len[si])
+            # ALL within-bucket pairs: star-linking only to the min id
+            # loses true duplicate pairs whenever the min-id member is a
+            # minhash false positive. Quadratic blowup is capped:
+            # oversized buckets (hash collisions of near-identical
+            # content) fall back to the star so one degenerate bucket
+            # can't emit millions of pairs.
+            if m <= _MAX_FULL_PAIR_BUCKET:
+                for x in range(lo, lo + m):
+                    for y in range(x + 1, lo + m):
+                        a_out.append(ids[x])
+                        b_out.append(ids[y])
+            else:
+                a_out.extend([ids[lo]] * (m - 1))
+                b_out.extend(ids[lo + 1 : lo + m])
         return pa.table({"a": pa.array(a_out, type=id_type), "b": pa.array(b_out, type=id_type)})
 
     # pairs feed BOTH the candidate-id pass and join leg 1 — pin once
     pairs = (
-        triples.groupby(["band", "bhash"])
+        triples.groupby("bbucket")
         .map_groups(emit_pairs, batch_format="pyarrow")
         .materialize()
     )
