@@ -103,16 +103,36 @@ def dedup_exact(ds: Dataset, on: str, id_col: str) -> Dataset:
                 None if v is None else hashlib.sha256(str(v).encode()).hexdigest()
                 for v in col.to_pylist()
             ]
-        return pa.table({"__h": pa.array(hs, type=pa.string()), id_col: t[id_col]})
+        hb = pa.array(
+            [None if h is None else int(h[:15], 16) % _NGRAM_SHINGLE_BUCKETS for h in hs],
+            type=pa.int64(),
+        )
+        return pa.table(
+            {"__hb": hb, "__h": pa.array(hs, type=pa.string()), id_col: t[id_col]}
+        )
 
     def losers(g: pa.Table) -> pa.Table:
-        ids = g[id_col]
+        # one task per hash BUCKET (most sha256 values are unique, so a
+        # groupby on the raw digest pays Ray's per-group cost once per
+        # distinct doc); segment by digest vectorized, keep non-min ids
+        ids_arr = g[id_col]
         if g.num_rows < 2:
-            return pa.table({id_col: ids.slice(0, 0)})
-        mn = pc.min(ids)
-        return pa.table({id_col: ids.filter(pc.not_equal(ids, mn))})
+            return pa.table({id_col: ids_arr.slice(0, 0)})
+        g = g.take(
+            pc.sort_indices(g, sort_keys=[("__h", "ascending"), (id_col, "ascending")])
+        )
+        hs = g["__h"].to_numpy(zero_copy_only=False)
+        bounds = np.concatenate(
+            [[0], np.flatnonzero(hs[1:] != hs[:-1]) + 1, [len(hs)]]
+        )
+        seg_len = np.diff(bounds)
+        keep = np.zeros(len(hs), dtype=bool)
+        for si in np.flatnonzero(seg_len >= 2):
+            keep[int(bounds[si]) + 1 : int(bounds[si + 1])] = True  # all but min id
+        sub = g.filter(pa.array(keep))
+        return pa.table({id_col: sub[id_col]})
 
-    lose_ds = ds.map_batches(key_id, **_PYARROW).groupby("__h").map_groups(
+    lose_ds = ds.map_batches(key_id, **_PYARROW).groupby("__hb").map_groups(
         losers, batch_format="pyarrow"
     )
     lose_tbl = _collect_small(lose_ds)
