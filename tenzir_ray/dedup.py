@@ -417,6 +417,26 @@ def jaccard(a: str, b: str, k: int = 5) -> float:
     return len(sa & sb) / max(1, len(sa | sb))
 
 
+def _key_bucket(arr) -> pa.Array:
+    """4096-way hash bucket of an id column — the Ray groupby key that
+    replaces per-id groups in the dedup join legs (vectorized splitmix
+    for integer ids; crc32 loop for strings, bounded by candidate
+    counts, never the corpus)."""
+    import zlib
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_integer(arr.type):
+        v = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.array(
+            (_splitmix64(v) % np.uint64(_NGRAM_SHINGLE_BUCKETS)).astype(np.int64)
+        )
+    return pa.array(
+        [zlib.crc32(str(x).encode()) % _NGRAM_SHINGLE_BUCKETS for x in arr.to_pylist()],
+        type=pa.int64(),
+    )
+
+
 def _jaccard_sorted(x: np.ndarray, y: np.ndarray) -> float:
     """Jaccard of two sorted-unique uint64 shingle arrays."""
     if x.size == 0 and y.size == 0:
@@ -639,14 +659,19 @@ def _verified_edges(
     # consumed by both join legs — pin once (candidates only, small)
     cand_sh = hashed.map_batches(extract_shingles, **_PYARROW).materialize()
 
-    # reduce-side join, leg 1: attach sh_a (keyed by a)
+    # reduce-side join, leg 1: attach sh_a (keyed by a). The Ray
+    # groupby runs on a 4096-way HASH BUCKET of the join key (one
+    # group per candidate id would pay Ray's per-group cost a
+    # candidate-count number of times); per-key segmentation happens
+    # inside the task after an in-task sort.
     join_schema = pa.schema(
-        [("__jk", id_type), ("a", id_type), ("b", id_type), ("__sh", sh_type)]
+        [("__jb", pa.int64()), ("__jk", id_type), ("a", id_type), ("b", id_type), ("__sh", sh_type)]
     )
 
     def pairs_keyed_a(t: pa.Table) -> pa.Table:
         return pa.table(
             {
+                "__jb": _key_bucket(t["a"]),
                 "__jk": t["a"],
                 "a": t["a"],
                 "b": t["b"],
@@ -658,6 +683,7 @@ def _verified_edges(
     def shingles_keyed(t: pa.Table) -> pa.Table:
         return pa.table(
             {
+                "__jb": _key_bucket(t[id_col]),
                 "__jk": t[id_col],
                 "a": pa.nulls(t.num_rows, type=id_type),
                 "b": pa.nulls(t.num_rows, type=id_type),
@@ -673,41 +699,51 @@ def _verified_edges(
     out1_schema = pa.schema([("a", id_type), ("b", id_type), ("__sha", sh_type)])
 
     def attach_a(g: pa.Table) -> pa.Table:
-        is_pair = pc.is_valid(g["a"])
-        pr = g.filter(is_pair)
-        sh_rows = g.filter(pc.invert(is_pair))
-        if pr.num_rows == 0 or sh_rows.num_rows == 0:
+        if g.num_rows == 0:
             return out1_schema.empty_table()
-        # duplicate pairs from different LSH bands collapse here, BEFORE
-        # any jaccard work
-        seen = set()
-        keep = []
-        bs = pr["b"].to_pylist()
-        for i, b in enumerate(bs):
-            if b not in seen:
-                seen.add(b)
-                keep.append(i)
-        pr = pr.take(pa.array(keep, type=pa.int64()))
-        sh = sh_rows["__sh"][0].as_py()
+        g = g.take(pc.sort_indices(g, sort_keys=[("__jk", "ascending")]))
+        jk = g["__jk"].to_pylist()
+        av = g["a"].to_pylist()  # None marks a shingle row
+        bv = g["b"].to_pylist()
+        shv = g["__sh"].to_pylist()
+        a_out, b_out, sha_out = [], [], []
+        i, n = 0, len(jk)
+        while i < n:
+            j = i
+            while j < n and jk[j] == jk[i]:
+                j += 1
+            sh = next((shv[x] for x in range(i, j) if av[x] is None), None)
+            if sh is not None:
+                # duplicate pairs from different LSH bands collapse
+                # here, BEFORE any jaccard work
+                seen = set()
+                for x in range(i, j):
+                    if av[x] is not None and bv[x] not in seen:
+                        seen.add(bv[x])
+                        a_out.append(av[x])
+                        b_out.append(bv[x])
+                        sha_out.append(sh)
+            i = j
         return pa.table(
             {
-                "a": pr["a"],
-                "b": pr["b"],
-                "__sha": pa.array([sh] * pr.num_rows, type=sh_type),
+                "a": pa.array(a_out, type=id_type),
+                "b": pa.array(b_out, type=id_type),
+                "__sha": pa.array(sha_out, type=sh_type),
             },
             schema=out1_schema,
         )
 
-    with_sha = leg1.groupby("__jk").map_groups(attach_a, batch_format="pyarrow")
+    with_sha = leg1.groupby("__jb").map_groups(attach_a, batch_format="pyarrow")
 
     # leg 2: attach sh_b (keyed by b) + verify
     join2_schema = pa.schema(
-        [("__jk", id_type), ("a", id_type), ("b", id_type), ("__sha", sh_type), ("__sh", sh_type)]
+        [("__jb", pa.int64()), ("__jk", id_type), ("a", id_type), ("b", id_type), ("__sha", sh_type), ("__sh", sh_type)]
     )
 
     def pairs_keyed_b(t: pa.Table) -> pa.Table:
         return pa.table(
             {
+                "__jb": _key_bucket(t["b"]),
                 "__jk": t["b"],
                 "a": t["a"],
                 "b": t["b"],
@@ -720,6 +756,7 @@ def _verified_edges(
     def shingles_keyed2(t: pa.Table) -> pa.Table:
         return pa.table(
             {
+                "__jb": _key_bucket(t[id_col]),
                 "__jk": t[id_col],
                 "a": pa.nulls(t.num_rows, type=id_type),
                 "b": pa.nulls(t.num_rows, type=id_type),
@@ -736,21 +773,36 @@ def _verified_edges(
     edge_schema = pa.schema([("a", id_type), ("b", id_type)])
 
     def verify_pairs(g: pa.Table) -> pa.Table:
-        is_pair = pc.is_valid(g["a"])
-        pr = g.filter(is_pair)
-        sh_rows = g.filter(pc.invert(is_pair))
-        if pr.num_rows == 0 or sh_rows.num_rows == 0:
+        if g.num_rows == 0:
             return edge_schema.empty_table()
-        sh_b = np.asarray(sh_rows["__sh"][0].as_py(), dtype=np.uint64)
-        keep = [
-            i
-            for i, sha in enumerate(pr["__sha"].to_pylist())
-            if _jaccard_sorted(np.asarray(sha, dtype=np.uint64), sh_b) >= threshold
-        ]
-        pr = pr.take(pa.array(keep, type=pa.int64()))
-        return pa.table({"a": pr["a"], "b": pr["b"]}, schema=edge_schema)
+        g = g.take(pc.sort_indices(g, sort_keys=[("__jk", "ascending")]))
+        jk = g["__jk"].to_pylist()
+        av = g["a"].to_pylist()  # None marks a shingle row
+        bv = g["b"].to_pylist()
+        shav = g["__sha"].to_pylist()
+        shv = g["__sh"].to_pylist()
+        a_out, b_out = [], []
+        i, n = 0, len(jk)
+        while i < n:
+            j = i
+            while j < n and jk[j] == jk[i]:
+                j += 1
+            sh = next((shv[x] for x in range(i, j) if av[x] is None), None)
+            if sh is not None:
+                sh_b = np.asarray(sh, dtype=np.uint64)
+                for x in range(i, j):
+                    if av[x] is not None and _jaccard_sorted(
+                        np.asarray(shav[x], dtype=np.uint64), sh_b
+                    ) >= threshold:
+                        a_out.append(av[x])
+                        b_out.append(bv[x])
+            i = j
+        return pa.table(
+            {"a": pa.array(a_out, type=id_type), "b": pa.array(b_out, type=id_type)},
+            schema=edge_schema,
+        )
 
-    verified = leg2.groupby("__jk").map_groups(verify_pairs, batch_format="pyarrow")
+    verified = leg2.groupby("__jb").map_groups(verify_pairs, batch_format="pyarrow")
 
     edge_tbl = _collect_small(verified)
     return (
