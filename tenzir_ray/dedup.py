@@ -1163,16 +1163,24 @@ def dedup_simhash(
             buckets.extend((rot >> np.uint64(64 - prefix_bits)).tolist())
             out_ids.extend(ids)
             out_hs.extend(hs.tolist())
+        bk = np.array(buckets, dtype=np.uint64)
+        rt = np.array(rots, dtype=np.uint64)
+        # Ray groupby key = 4096-way hash of (rot, bucket); most
+        # rotation windows index a single doc, and per-group overhead
+        # at one group per window dwarfs the work (same fix as the
+        # LSH/prefix groupings). Exact segmentation happens in-task.
+        gb = ((bk << np.uint64(2)) | rt) % np.uint64(_NGRAM_SHINGLE_BUCKETS)
         return pa.table(
             {
+                "gb": pa.array(gb.astype(np.int64)),
                 "rot": pa.array(rots, type=pa.int32()),
-                "bucket": pa.array(np.array(buckets, dtype=np.uint64)),
+                "bucket": pa.array(bk),
                 id_col: pa.array(out_ids, type=id_type),
                 "h": pa.array(np.array(out_hs, dtype=np.uint64)),
             }
         )
 
-    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+    def _bucket_edges(ids: list, hs: np.ndarray, r: int, a_out: list, b_out: list):
         """EXACT within-bucket edges at ANY bucket size: hamming
         distance depends only on the hash value, so docs sharing a hash
         star-link to their min-id member (distance 0) and the pair
@@ -1182,12 +1190,9 @@ def dedup_simhash(
         task. Above the cap, :func:`_hamming_index_pairs` multi-index
         recursion bounds every leaf, so a degenerate bucket of a
         10^10-doc corpus never goes quadratic in one task."""
-        ids = g[id_col].to_pylist()
-        hs = g["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
         groups: Dict[int, list] = {}
         for i, h in enumerate(hs.tolist()):
             groups.setdefault(h, []).append(ids[i])
-        a_out, b_out = [], []
         reps = []
         for h, mem in groups.items():
             mn = min(mem)
@@ -1201,7 +1206,6 @@ def dedup_simhash(
             # work on ROTATED values (hamming-invariant): within this
             # bucket they share their top prefix_bits, so the free
             # region is exactly the low 64-prefix_bits bits
-            r = g["rot"][0].as_py()
             s = np.uint64(16 * r)
             rv = (
                 np.bitwise_or(np.left_shift(hv, s), np.right_shift(hv, np.uint64(64) - s))
@@ -1213,12 +1217,37 @@ def dedup_simhash(
                 a, b = sorted((reps[i][1], reps[j][1]))
                 a_out.append(a)
                 b_out.append(b)
+
+    def pairs_in_group(g: pa.Table) -> pa.Table:
+        # one task per hash-bucket group: segment by the exact
+        # (rot, bucket) window, Python only for multi-member segments
+        if g.num_rows < 2:
+            return pa.table({"a": pa.array([], type=id_type), "b": pa.array([], type=id_type)})
+        g = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("rot", "ascending"), ("bucket", "ascending")]
+            )
+        )
+        rot = g["rot"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = g["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = (bkt << np.uint64(2)) | rot.astype(np.uint64)
+        bounds = np.concatenate([[0], np.flatnonzero(np.diff(key)) + 1, [len(key)]])
+        seg_len = np.diff(bounds)
+        multi = np.flatnonzero(seg_len >= 2)
+        a_out: list = []
+        b_out: list = []
+        if multi.size:
+            ids = g[id_col].to_pylist()
+            hs = g["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            for si in multi:
+                lo, hi = int(bounds[si]), int(bounds[si + 1])
+                _bucket_edges(ids[lo:hi], hs[lo:hi], int(rot[lo]), a_out, b_out)
         return pa.table({"a": pa.array(a_out, type=id_type), "b": pa.array(b_out, type=id_type)})
 
     verified = (
         hashed.map_batches(emit_buckets, **_PYARROW)
-        .groupby(["rot", "bucket"])
-        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(pairs_in_group, batch_format="pyarrow")
     )
     edge_tbl = _collect_small(verified)
     edges = (
