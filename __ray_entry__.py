@@ -176,6 +176,24 @@ def _q_summarize_q1(sf_dir):
     return _round_cols(out, ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty", "avg_price"], 2)
 
 
+def _q_median_quantile(sf_dir):
+    # exact distributed median / interpolated quantile over
+    # bounded-cardinality measures (value-count decomposition,
+    # ops/summarize.py:_quantile_fn)
+    ds = read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_returnflag", "l_quantity", "l_discount"]
+    )
+    out = ops.summarize(
+        ds,
+        aggs={
+            "med_qty": ("median", "l_quantity"),
+            "p95_disc": ("quantile_cont_0.95", "l_discount"),
+        },
+        by="l_returnflag",
+    )
+    return _round_cols(ops.sort(out, "l_returnflag"), ["med_qty", "p95_disc"], 4)
+
+
 def _q_summarize_by_hour(sf_dir):
     ds = read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
     out = ops.summarize(
@@ -640,6 +658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "project_revenue": _q_project,
         "summarize_q1": _q_summarize_q1,
         "summarize_by_hour": _q_summarize_by_hour,
+        "median_quantile_lineitem": _q_median_quantile,
         "top_event_types": _q_top,
         "rare_event_types": _q_rare,
         "sort_head_orders": _q_sort_head,
@@ -965,6 +984,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "median_quantile_lineitem": """
+            SELECT l_returnflag,
+                   round(median(l_quantity), 4) AS med_qty,
+                   round(quantile_cont(l_discount, 0.95), 4) AS p95_disc
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "summarize_by_hour": f"""
             SELECT date_trunc('hour', ts) AS ts, count(*) AS n,

@@ -277,6 +277,78 @@ def _topk_fn(on: str, name: str, k: int = _TOPK_K) -> AggregateFn:
     )
 
 
+# cardinality guard for the exact quantile path: the accumulator is a
+# value->count map, so a high-cardinality measure must error loudly
+# instead of silently growing a worker heap
+_MAX_QUANTILE_DISTINCT = 1_000_000
+
+
+def _quantile_fn(on: str, name: str, q: Optional[float]) -> AggregateFn:
+    """Exact median / linear-interpolated quantile over a
+    BOUNDED-CARDINALITY numeric column, decomposed as mergeable
+    value->count maps (JSON accumulator; float keys round-trip exactly
+    via repr). ``q=None`` = median (mean of the two middles on even
+    counts — DuckDB ``median`` semantics); otherwise ``quantile_cont``
+    linear interpolation at ``q``. Scale contract: accumulator size =
+    column cardinality (fine for measures like quantities/prices
+    quantized to cents); > _MAX_QUANTILE_DISTINCT raises — use a
+    sketch or a sampled estimate instead."""
+    import json
+
+    def acc_block(acc: str, blk) -> str:
+        d = json.loads(acc)
+        vc = pc.value_counts(_col(blk, on))
+        for v, c in zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()):
+            if v is not None:
+                k = repr(float(v))
+                d[k] = d.get(k, 0) + c
+        if len(d) > _MAX_QUANTILE_DISTINCT:
+            raise ValueError(
+                f"exact quantile({on}): > {_MAX_QUANTILE_DISTINCT} distinct values; "
+                "use approx sketches or pre-quantize the column"
+            )
+        return json.dumps(d)
+
+    def merge(a: str, b: str) -> str:
+        da, db = json.loads(a), json.loads(b)
+        for k, c in db.items():
+            da[k] = da.get(k, 0) + c
+        return json.dumps(da)
+
+    def finalize(acc: str):
+        import numpy as np
+
+        d = json.loads(acc)
+        if not d:
+            return None
+        vals = np.array(sorted(float(k) for k in d))
+        cnts = np.array([d[repr(v)] for v in vals], dtype=np.int64)
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+
+        def value_at(i: int) -> float:  # i: 0-based index into the sorted multiset
+            return float(vals[np.searchsorted(cum, i + 1)])
+
+        if q is None:  # median
+            if n % 2:
+                return value_at(n // 2)
+            return (value_at(n // 2 - 1) + value_at(n // 2)) / 2.0
+        h = (n - 1) * q
+        lo = int(np.floor(h))
+        v_lo = value_at(lo)
+        if lo + 1 > n - 1:
+            return v_lo
+        return v_lo + (h - lo) * (value_at(lo + 1) - v_lo)
+
+    return AggregateFn(
+        init=lambda k: json.dumps({}),
+        accumulate_block=acc_block,
+        merge=merge,
+        finalize=finalize,
+        name=name,
+    )
+
+
 def _make_agg(func: str, on: Optional[str], alias: str):
     func = func.lower()
     if func == "count":
@@ -305,12 +377,17 @@ def _make_agg(func: str, on: Optional[str], alias: str):
         return _hll_fn(on, alias)
     if func == "approx_top_k":
         return _topk_fn(on, alias)
+    if func == "median":
+        return _quantile_fn(on, alias, None)
+    m = re.match(r"^quantile_cont_?(0?\.\d+|1(?:\.0*)?)$", func)
+    if m:  # e.g. quantile_cont_0.95
+        return _quantile_fn(on, alias, float(m.group(1)))
     raise ValueError(f"unknown aggregation function: {func}")
 
 
 AGGREGATE_FUNCTIONS = (
     "count sum min max mean std any all distinct count_distinct sample"
-    " approx_count_distinct approx_top_k".split()
+    " approx_count_distinct approx_top_k median quantile_cont_<q>".split()
 )
 
 _RESOLUTION_RE = re.compile(r"^\s*(\d+)\s*(ns|us|ms|s|sec|min|m|h|hour|d|day)\s*$")

@@ -91,3 +91,51 @@ def test_sketches_via_tql():
     ds = _make_ds([i % 100 for i in range(3000)])
     out = tql.run("summarize acd=approx_count_distinct(v)", ds).take_all()
     assert abs(out[0]["acd"] - 100) <= 2
+
+
+def test_median_exact_odd_even():
+    out = ops.summarize(_make_ds([5.0, 1.0, 3.0]), aggs={"m": ("median", "v")}).take_all()
+    assert out[0]["m"] == 3.0
+    out = ops.summarize(_make_ds([4.0, 1.0, 3.0, 2.0]), aggs={"m": ("median", "v")}).take_all()
+    assert out[0]["m"] == 2.5  # mean of the two middles (DuckDB semantics)
+
+
+def test_quantile_cont_interpolates():
+    import duckdb
+
+    vals = [float(x) for x in (1, 3, 3, 5, 9, 11, 20, 20, 31)]
+    for q in (0.25, 0.5, 0.95):
+        out = ops.summarize(
+            _make_ds(vals, blocks=3), aggs={"p": (f"quantile_cont_{q}", "v")}
+        ).take_all()
+        want = float(
+            duckdb.sql(
+                f"SELECT quantile_cont(v::DOUBLE, {q}) FROM (SELECT unnest({vals}) v)"
+            ).fetchone()[0]
+        )
+        assert abs(out[0]["p"] - want) < 1e-9, (q, out[0]["p"], want)
+
+
+def test_median_grouped_with_nulls():
+    vals = [1.0, None, 3.0, 10.0, 20.0, None, 30.0, 40.0]
+    keys = ["a", "a", "a", "b", "b", "b", "b", "b"]
+    rows = {
+        r["k"]: r["m"]
+        for r in ops.summarize(
+            _make_ds(vals, key=keys, blocks=3), aggs={"m": ("median", "v")}, by="k"
+        ).take_all()
+    }
+    assert rows["a"] == 2.0 and rows["b"] == 25.0
+
+
+def test_quantile_cardinality_guard(monkeypatch):
+    import importlib
+
+    import pytest
+
+    s = importlib.import_module("tenzir_ray.ops.summarize")
+    monkeypatch.setattr(s, "_MAX_QUANTILE_DISTINCT", 10)
+    with pytest.raises(Exception, match="distinct"):
+        ops.summarize(
+            _make_ds([float(i) for i in range(100)]), aggs={"m": ("median", "v")}
+        ).take_all()
