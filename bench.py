@@ -118,6 +118,7 @@ def run_queries() -> dict:
         "lww_latest_event_per_user",
         "token_count_docs",
         "dedup_minhash_docs",
+        "dedup_ngram_jaccard_docs",
         "ann_brute_top10",
     ]
     def load1() -> float:
