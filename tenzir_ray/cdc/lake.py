@@ -169,7 +169,10 @@ class Lake:
         ``os.replace`` — the single commit point (phase 2 of the 2PC;
         phase 1 is the staged data files already on disk)."""
         path = self._manifest_path(manifest["version"])
-        tmp = path + ".tmp"
+        # dot-prefixed tmp: naive directory listers (and pre-fix tests)
+        # matched "manifest-*" and could observe the tmp during the
+        # fsync window as if it were a committed version
+        tmp = os.path.join(os.path.dirname(path), "." + os.path.basename(path) + ".tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
             f.flush()

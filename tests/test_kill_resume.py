@@ -47,7 +47,12 @@ def test_sigkill_mid_replay_then_rerun():
     first_version = None
     while time.time() < deadline and proc.poll() is None:
         if os.path.isdir(manifest_dir):
-            versions = [n for n in os.listdir(manifest_dir) if n.startswith("manifest-")]
+            # committed versions only: the engine's tmp file lives in
+            # this directory during the fsync window and must not match
+            versions = [
+                n for n in os.listdir(manifest_dir)
+                if n.startswith("manifest-") and n.endswith(".json")
+            ]
             done = [v for v in versions if int(v[9:15]) >= 1]
             if done:
                 first_version = max(int(v[9:15]) for v in done)
