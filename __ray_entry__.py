@@ -176,6 +176,33 @@ def _q_summarize_q1(sf_dir):
     return _round_cols(out, ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty", "avg_price"], 2)
 
 
+def _q_range_join(sf_dir):
+    # interval-containment join (ops/join.py:range_join): every 101st
+    # event spawns a 1-hour window; all events landing inside any
+    # window join it. The interval side is built CLUSTER-side (pruned
+    # 2-column read + vectorized filter) and only the small filtered
+    # result is collected for the broadcast — no driver scan of the
+    # fact table.
+    from tenzir_ray.ops.join import range_join
+
+    ds = read_parquet(_t(sf_dir, "events"), columns=["event_id", "ts"])
+
+    def pick_intervals(t):
+        import pyarrow.compute as _pc
+
+        keys = t["event_id"].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(keys % 101 == 0))
+        hi = _pc.add(sub["ts"], pa.scalar(3_600_000_000, type=pa.duration("us")))
+        return pa.table({"iv_id": sub["event_id"], "lo": sub["ts"], "hi": hi})
+
+    iv_ds = ds.map_batches(pick_intervals, batch_format="pyarrow", zero_copy_batch=True)
+    import ray as _ray
+
+    iv = pa.concat_tables([t for t in _ray.get(iv_ds.to_arrow_refs()) if t.num_rows])
+    out = range_join(ds, iv, on="ts", lo_col="lo", hi_col="hi", how="inner")
+    return ops.sort(ops.select(out, ["event_id", "iv_id"]), ["event_id", "iv_id"])
+
+
 def _q_median_quantile(sf_dir):
     # exact distributed median / interpolated quantile over
     # bounded-cardinality measures (value-count decomposition,
@@ -659,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "summarize_q1": _q_summarize_q1,
         "summarize_by_hour": _q_summarize_by_hour,
         "median_quantile_lineitem": _q_median_quantile,
+        "range_join_events": _q_range_join,
         "top_event_types": _q_top,
         "rare_event_types": _q_rare,
         "sort_head_orders": _q_sort_head,
@@ -984,6 +1012,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "range_join_events": """
+            WITH iv AS (
+              SELECT event_id AS iv_id, ts AS lo, ts + INTERVAL 1 HOUR AS hi
+              FROM events WHERE event_id % 101 = 0
+            )
+            SELECT e.event_id, iv.iv_id
+            FROM events e JOIN iv ON e.ts >= iv.lo AND e.ts <= iv.hi
+            ORDER BY e.event_id, iv.iv_id
         """,
         "median_quantile_lineitem": """
             SELECT l_returnflag,

@@ -155,3 +155,127 @@ def asof_join(
         AsofJoiner, concurrency=(1, max(2, cpus // 4)), num_cpus=0.5,
         batch_format="pandas", batch_size=None,
     )
+
+
+def range_join(
+    ds: Dataset,
+    right: pa.Table,
+    on: str,
+    lo_col: str,
+    hi_col: str,
+    how: str = "inner",
+    suffix: str = "_r",
+) -> Dataset:
+    """Interval-containment join: each left row joins every right row
+    whose ``[lo_col, hi_col]`` interval (inclusive) contains
+    ``left[on]`` — ``ts BETWEEN lo AND hi`` in SQL. One-to-many:
+    output has one row per (left row, containing interval).
+
+    Broadcast pattern (same contract as :func:`lookup_join`): the
+    right side is interval metadata small enough to ``ray.put`` once.
+    Each actor builds an ELEMENTARY-SEGMENT index once in ``__init__``:
+    the sorted unique interval endpoints split the domain into
+    segments, and a CSR (segment -> covering interval ids) table is
+    built fully vectorized; a batch query is then one
+    ``searchsorted`` + two ``repeat`` gathers — no per-row Python, no
+    per-batch index rebuild. Build cost is O(total segment coverage):
+    heavily-overlapping interval sets square it, which is the stated
+    broadcast-small trade (a big-big interval join would need a
+    range-partitioned shuffle instead).
+
+    ``how``: 'inner' or 'left outer' (unmatched left rows keep null
+    right columns). Right columns clashing with left names get
+    ``suffix``."""
+    import numpy as np
+
+    from tenzir_ray.dedup import _ranges
+
+    if how not in ("inner", "left outer"):
+        raise ValueError(f"range_join supports 'inner' / 'left outer', got {how!r}")
+
+    def _ordinal(arr: pa.ChunkedArray | pa.Array) -> "np.ndarray":
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        t = arr.type
+        if pa.types.is_temporal(t):
+            return np.asarray(arr.cast(pa.int64()))
+        if pa.types.is_integer(t):
+            return np.asarray(arr.cast(pa.int64()))
+        if pa.types.is_floating(t):
+            return np.asarray(arr.cast(pa.float64()))
+        raise TypeError(f"range_join key must be temporal/numeric, got {t}")
+
+    is_float = pa.types.is_floating(right.schema.field(lo_col).type)
+    r_ref = ray.put(right)
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+
+    class RangeJoiner:
+        def __init__(self):
+            import numpy as np
+
+            r = ray.get(r_ref)
+            lo = _ordinal(r[lo_col])
+            hi = _ordinal(r[hi_col])
+            # inclusive hi: integer ordinals bump by 1; float ordinals
+            # by one ulp — the segment [lo, hi_excl) then covers hi
+            hi_excl = np.nextafter(hi, np.inf) if is_float else hi + 1
+            pts = np.unique(np.concatenate([lo, hi_excl]))
+            s0 = np.searchsorted(pts, lo)
+            s1 = np.searchsorted(pts, hi_excl)
+            spans = np.maximum(s1 - s0, 0)
+            seg_idx = np.repeat(s0, spans) + _ranges(spans)
+            iv_idx = np.repeat(np.arange(len(lo), dtype=np.int64), spans)
+            order = np.argsort(seg_idx, kind="stable")
+            self.flat = iv_idx[order]
+            self.counts = np.bincount(seg_idx, minlength=max(len(pts) - 1, 1))
+            self.offsets = np.concatenate([[0], np.cumsum(self.counts)])
+            self.pts = pts
+            self.nseg = len(pts) - 1
+            # right columns, clash-suffixed
+            self.right = pa.table(
+                {
+                    (c + suffix if c in set_left_cols else c): r[c]
+                    for c in r.column_names
+                }
+            )
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ts = _ordinal(t[on])
+            seg = np.searchsorted(self.pts, ts, side="right") - 1
+            valid = (seg >= 0) & (seg < self.nseg)
+            segc = np.where(valid, seg, 0)
+            cnt = np.where(valid, self.counts[segc], 0)
+            left_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), cnt)
+            base = np.repeat(self.offsets[segc], cnt)
+            right_take = self.flat[base + _ranges(cnt)]
+            out_left = t.take(pa.array(left_idx))
+            out_right = self.right.take(pa.array(right_take))
+            matched = pa.table(
+                {
+                    **{c: out_left[c] for c in out_left.column_names},
+                    **{c: out_right[c] for c in out_right.column_names},
+                }
+            )
+            if how == "inner":
+                return matched
+            miss = np.flatnonzero(cnt == 0)
+            if not miss.size:
+                return matched
+            lt = t.take(pa.array(miss))
+            nulls = pa.table(
+                {
+                    **{c: lt[c] for c in lt.column_names},
+                    **{
+                        c: pa.nulls(lt.num_rows, type=self.right.schema.field(c).type)
+                        for c in self.right.column_names
+                    },
+                }
+            )
+            return pa.concat_tables([matched, nulls])
+
+    set_left_cols = set(ds.schema().base_schema.names)
+    return ds.map_batches(
+        RangeJoiner, concurrency=(1, max(2, cpus // 4)), num_cpus=0.5, **_PYARROW
+    )

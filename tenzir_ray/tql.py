@@ -12,7 +12,7 @@ string compiles to a ``Dataset -> Dataset`` function composed from
 Supported operators: where select drop rename put extend replace head
 tail taste unique enumerate sort top rare summarize hash flatten
 unflatten batch repeat measure pass shell decapsulate sigma
-lookup-join shuffle-join asof-join sessionize tumbling hopping
+lookup-join shuffle-join asof-join range-join sessionize tumbling hopping
 dedup-exact dedup-minhash dedup-ngram dedup-simhash dedup-embedding.
 """
 
@@ -237,6 +237,21 @@ def _compile_stage(stage: str) -> Callable[[Dataset], Dataset]:
             return _d.dedup_embedding(ds, _c, _i, threshold=0.999)
 
         return _dd
+    if op == "range-join":
+        # range-join <parquet_path> on <left_col> in <lo_col>..<hi_col> [how]
+        m = re.match(r"(\S+)\s+on\s+(\S+)\s+in\s+(\S+)\.\.(\S+)(?:\s+(.+))?$", rest)
+        if not m:
+            raise ValueError("range-join wants: <parquet> on <col> in <lo>..<hi> [how]")
+        path, col, lo, hi, how = m.groups()
+
+        def _rj(ds, _p=path, _c=col, _lo=lo, _hi=hi, _h=how or "inner"):
+            import pyarrow.parquet as pq
+
+            from tenzir_ray.ops.join import range_join
+
+            return range_join(ds, pq.read_table(_p), on=_c, lo_col=_lo, hi_col=_hi, how=_h)
+
+        return _rj
     if op == "shuffle-join":
         # shuffle-join <parquet_path> on <key>[=<right_key>] [how...]
         m = re.match(r"(\S+)\s+on\s+(\S+?)(?:=(\S+))?(?:\s+(.+))?$", rest)

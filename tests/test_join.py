@@ -126,3 +126,70 @@ def test_shuffle_join_rejects_unknown_type(ray_session):
     t = ray.data.from_arrow(pa.table({"k": [1]}))
     with pytest.raises(ValueError, match="unknown join type"):
         shuffle_join(t, t, keys="k", how="sideways")
+
+
+def test_range_join_inner_and_outer():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from tenzir_ray.ops.join import range_join
+
+    left = ray.data.from_arrow(
+        pa.table({"id": [0, 1, 2, 3, 4], "x": [1.0, 5.0, 10.0, 15.0, 99.0]})
+    )
+    right = pa.table(
+        {
+            "iv": ["a", "b", "c"],
+            "lo": [0.0, 4.0, 9.0],
+            "hi": [6.0, 12.0, 11.0],  # a and b overlap; b and c overlap
+        }
+    )
+    out = range_join(left, right, on="x", lo_col="lo", hi_col="hi").to_pandas()
+    got = sorted(zip(out["id"], out["iv"]))
+    # x=1 -> a; x=5 -> a,b; x=10 -> b,c; x=15 -> none; x=99 -> none
+    assert got == [(0, "a"), (1, "a"), (1, "b"), (2, "b"), (2, "c")]
+
+    outer = range_join(
+        left, right, on="x", lo_col="lo", hi_col="hi", how="left outer"
+    ).to_pandas()
+    missed = outer[outer["iv"].isna()]["id"].tolist()
+    assert sorted(missed) == [3, 4]
+    assert len(outer) == 7
+
+
+def test_range_join_inclusive_bounds_and_clash():
+    import pyarrow as pa
+    import ray.data
+
+    from tenzir_ray.ops.join import range_join
+
+    left = ray.data.from_arrow(pa.table({"id": [0, 1, 2], "lo": [5, 10, 20]}))
+    right = pa.table({"rid": [7], "lo": [5], "hi": [10]})  # "lo" clashes with left
+    out = range_join(left, right, on="lo", lo_col="lo", hi_col="hi").to_pandas()
+    # integer bounds are inclusive on BOTH ends: 5 and 10 match, 20 not
+    assert sorted(out["id"]) == [0, 1]
+    assert "lo_r" in out.columns  # clash suffixed
+
+
+def test_range_join_timestamps():
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from tenzir_ray.ops.join import range_join
+
+    base = pd.Timestamp("2024-01-01")
+    ts = [base + pd.Timedelta(minutes=m) for m in (0, 30, 61, 200)]
+    left = ray.data.from_arrow(
+        pa.table({"id": [0, 1, 2, 3], "ts": pa.array(ts, type=pa.timestamp("us"))})
+    )
+    right = pa.table(
+        {
+            "w": ["w0"],
+            "lo": pa.array([base], type=pa.timestamp("us")),
+            "hi": pa.array([base + pd.Timedelta(hours=1)], type=pa.timestamp("us")),
+        }
+    )
+    out = range_join(left, right, on="ts", lo_col="lo", hi_col="hi").to_pandas()
+    assert sorted(out["id"]) == [0, 1]  # 61min and 200min fall outside
