@@ -198,7 +198,12 @@ def _q_range_join(sf_dir):
     iv_ds = ds.map_batches(pick_intervals, batch_format="pyarrow", zero_copy_batch=True)
     import ray as _ray
 
-    iv = pa.concat_tables([t for t in _ray.get(iv_ds.to_arrow_refs()) if t.num_rows])
+    parts = [t for t in _ray.get(iv_ds.to_arrow_refs()) if t.num_rows]
+    iv = pa.concat_tables(parts) if parts else pa.table(
+        {"iv_id": pa.array([], pa.int64()),
+         "lo": pa.array([], pa.timestamp("us")),
+         "hi": pa.array([], pa.timestamp("us"))}
+    )
     out = range_join(ds, iv, on="ts", lo_col="lo", hi_col="hi", how="inner")
     return ops.sort(ops.select(out, ["event_id", "iv_id"]), ["event_id", "iv_id"])
 

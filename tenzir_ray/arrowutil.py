@@ -51,3 +51,26 @@ def list_matrix(col, dtype=np.float64) -> np.ndarray:
             raise ValueError("list column rows have non-uniform lengths")
     flat = np.asarray(arr.flatten())
     return flat.reshape(len(arr), d).astype(dtype, copy=False)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain mixing constants,
+    Steele et al. 2014): full-avalanche uint64 -> uint64. Wrapping
+    multiplication is intentional. Canonical copy — dedup and the
+    sketch aggregations share it."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def ranges(counts: np.ndarray) -> np.ndarray:
+    """Concatenated ``[0..c)`` ranges for each c in ``counts`` — the
+    vectorized equivalent of ``np.concatenate([np.arange(c) for c in
+    counts])``."""
+    total = int(counts.sum())
+    out_starts = np.cumsum(counts) - counts  # output offset of each segment
+    return np.arange(total, dtype=np.int64) - np.repeat(out_starts, counts)

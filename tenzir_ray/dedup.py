@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
-from tenzir_ray.arrowutil import str_slices
+from tenzir_ray.arrowutil import ranges, splitmix64, str_slices
 
 # batch_size=None = one whole block per batch: every kernel here is
 # vectorized, so Ray's 1024-row default would only add per-batch overhead
@@ -170,16 +170,9 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 finalizer (public-domain mixing constants,
-    Steele et al. 2014): full-avalanche uint64 → uint64. Wrapping
-    multiplication is intentional."""
-    x = x.copy()
-    x ^= x >> np.uint64(30)
-    x *= np.uint64(0xBF58476D1CE4E5B9)
-    x ^= x >> np.uint64(27)
-    x *= np.uint64(0x94D049BB133111EB)
-    x ^= x >> np.uint64(31)
-    return x
+    """Vectorized splitmix64 — canonical copy in
+    :func:`tenzir_ray.arrowutil.splitmix64`."""
+    return splitmix64(x)
 
 
 def _shingle_sets(texts: List[Optional[str]], k: int) -> List[np.ndarray]:
@@ -827,12 +820,8 @@ _WORD_RE = re.compile(r"[a-z0-9]+")
 
 
 def _ranges(counts: np.ndarray) -> np.ndarray:
-    """Concatenated [0..c) ranges for each c in ``counts`` — the
-    vectorized equivalent of ``np.concatenate([np.arange(c) for c in
-    counts])``."""
-    total = int(counts.sum())
-    out_starts = np.cumsum(counts) - counts  # output offset of each segment
-    return np.arange(total, dtype=np.int64) - np.repeat(out_starts, counts)
+    """Canonical copy in :func:`tenzir_ray.arrowutil.ranges`."""
+    return ranges(counts)
 
 # shingle-hash bucket count for candidate grouping (bounds Ray groupby
 # group count; shuffle volume is unchanged)
@@ -897,7 +886,12 @@ def dedup_ngram_jaccard(
     shingles as index keys. Two sets with Jaccard >= t must overlap by
     at least ``t * max(|A|, |B|)`` elements (since ``|A ∩ B| >=
     t * |A ∪ B| >= t * |A|``), so sets sharing NO prefix element cannot
-    reach the threshold — recall is exact, not probabilistic.
+    reach the threshold — recall is exact, not probabilistic, with ONE
+    carve-out: a prefix shingle hot enough to land in more than
+    ``_MAX_PREFIX_GROUP`` prefixes takes a star fallback (linear
+    candidates to the min id), and a duplicate pair whose ONLY shared
+    prefix shingle is that hot one can be missed — the bounded-work
+    knob, analogous to the MinHash bucket cap.
 
     Scale shape (mirrors the other dedups; nothing scans the corpus on
     the driver):

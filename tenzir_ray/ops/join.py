@@ -188,24 +188,40 @@ def range_join(
     ``suffix``."""
     import numpy as np
 
-    from tenzir_ray.dedup import _ranges
+    from tenzir_ray.arrowutil import ranges as _ranges
 
     if how not in ("inner", "left outer"):
         raise ValueError(f"range_join supports 'inner' / 'left outer', got {how!r}")
+
+    # ONE comparison domain for probe and bounds: temporal keys cast to
+    # the RIGHT side's exact type (unit alignment — a ms probe against
+    # us bounds must not compare raw ticks), numeric keys to float64 if
+    # EITHER side is floating (so x=10.5 vs int bounds [5, 10] does not
+    # get inclusive-bumped into range), else int64.
+    left_on_type = ds.schema().base_schema.field(on).type
+    lo_type = right.schema.field(lo_col).type
+    if pa.types.is_temporal(lo_type):
+        if not pa.types.is_temporal(left_on_type):
+            raise TypeError(f"range_join: left {on} is {left_on_type}, right bounds are {lo_type}")
+        domain = lo_type
+        is_float = False
+    elif pa.types.is_floating(lo_type) or pa.types.is_floating(left_on_type):
+        domain = pa.float64()
+        is_float = True
+    else:
+        domain = pa.int64()
+        is_float = False
 
     def _ordinal(arr: pa.ChunkedArray | pa.Array) -> "np.ndarray":
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         t = arr.type
-        if pa.types.is_temporal(t):
+        if not (pa.types.is_temporal(t) or pa.types.is_integer(t) or pa.types.is_floating(t)):
+            raise TypeError(f"range_join key must be temporal/numeric, got {t}")
+        arr = arr.cast(domain)  # unit-aligning cast for temporal types
+        if pa.types.is_temporal(domain):
             return np.asarray(arr.cast(pa.int64()))
-        if pa.types.is_integer(t):
-            return np.asarray(arr.cast(pa.int64()))
-        if pa.types.is_floating(t):
-            return np.asarray(arr.cast(pa.float64()))
-        raise TypeError(f"range_join key must be temporal/numeric, got {t}")
-
-    is_float = pa.types.is_floating(right.schema.field(lo_col).type)
+        return np.asarray(arr)
     r_ref = ray.put(right)
     cpus = int(ray.cluster_resources().get("CPU", 4))
 

@@ -29,6 +29,8 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import AggregateFn, Count, Max, Mean, Min, Std, Sum
 
+from tenzir_ray.arrowutil import splitmix64
+
 # batch_size=None = one whole block per batch: every kernel here is
 # vectorized, so Ray's 1024-row default would only add per-batch overhead
 _PYARROW = dict(batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
@@ -128,18 +130,6 @@ def _sample_fn(on: str, name: str) -> AggregateFn:
 _HLL_P = 12  # 2^12 registers -> standard error 1.04/sqrt(4096) ~ 1.6 %
 
 
-def _splitmix64_np(x):
-    import numpy as np
-
-    x = x.astype(np.uint64, copy=True)
-    x ^= x >> np.uint64(30)
-    x *= np.uint64(0xBF58476D1CE4E5B9)
-    x ^= x >> np.uint64(27)
-    x *= np.uint64(0x94D049BB133111EB)
-    x ^= x >> np.uint64(31)
-    return x
-
-
 def _hll_hash(col: pa.Array):
     """uint64 hashes of the UNIQUE non-null values of an Arrow array —
     vectorized splitmix64 for numeric types, blake2b-8 over the value
@@ -154,9 +144,9 @@ def _hll_hash(col: pa.Array):
         return np.empty(0, dtype=np.uint64)
     t = u.type
     if pa.types.is_integer(t):
-        return _splitmix64_np(u.to_numpy(zero_copy_only=False).astype(np.uint64))
+        return splitmix64(u.to_numpy(zero_copy_only=False).astype(np.uint64))
     if pa.types.is_floating(t):
-        return _splitmix64_np(
+        return splitmix64(
             u.to_numpy(zero_copy_only=False).astype(np.float64).view(np.uint64)
         )
     b2 = hashlib.blake2b
@@ -238,7 +228,10 @@ def _topk_fn(on: str, name: str, k: int = _TOPK_K) -> AggregateFn:
     count desc then value — the scale path for "top N of a
     billion-cardinality column" where an exact groupby-count shuffle
     is the bottleneck. Accumulator is a JSON string (survives the
-    Arrow block round-trip between map and reduce)."""
+    Arrow block round-trip between map and reduce), so reported values
+    are STRINGS regardless of the input column type — callers needing
+    the native type re-cast; values whose str() forms collide would
+    merge (only possible across mixed-type columns)."""
     import json
 
     def _shrink(d: dict) -> dict:
@@ -295,25 +288,32 @@ def _quantile_fn(on: str, name: str, q: Optional[float]) -> AggregateFn:
     sketch or a sampled estimate instead."""
     import json
 
-    def acc_block(acc: str, blk) -> str:
-        d = json.loads(acc)
-        vc = pc.value_counts(_col(blk, on))
-        for v, c in zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()):
-            if v is not None:
-                k = repr(float(v))
-                d[k] = d.get(k, 0) + c
+    def _check(d: dict) -> dict:
         if len(d) > _MAX_QUANTILE_DISTINCT:
             raise ValueError(
                 f"exact quantile({on}): > {_MAX_QUANTILE_DISTINCT} distinct values; "
                 "use approx sketches or pre-quantize the column"
             )
-        return json.dumps(d)
+        return d
+
+    def acc_block(acc: str, blk) -> str:
+        d = json.loads(acc)
+        vc = pc.value_counts(_col(blk, on))
+        for v, c in zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()):
+            # skip nulls AND NaNs: NaN has no total-order position, so it
+            # would corrupt the cumulative-count walk (DuckDB treats NaN
+            # as greater-than-everything; we treat it as missing — the
+            # one documented deviation)
+            if v is not None and v == v:
+                k = repr(float(v))
+                d[k] = d.get(k, 0) + c
+        return json.dumps(_check(d))
 
     def merge(a: str, b: str) -> str:
         da, db = json.loads(a), json.loads(b)
         for k, c in db.items():
             da[k] = da.get(k, 0) + c
-        return json.dumps(da)
+        return json.dumps(_check(da))
 
     def finalize(acc: str):
         import numpy as np
@@ -322,7 +322,9 @@ def _quantile_fn(on: str, name: str, q: Optional[float]) -> AggregateFn:
         if not d:
             return None
         vals = np.array(sorted(float(k) for k in d))
-        cnts = np.array([d[repr(v)] for v in vals], dtype=np.int64)
+        # repr(float(v)), not repr(v): v is np.float64, whose repr is
+        # 'np.float64(x)' on numpy >= 2 and would KeyError
+        cnts = np.array([d[repr(float(v))] for v in vals], dtype=np.int64)
         cum = np.cumsum(cnts)
         n = int(cum[-1])
 

@@ -193,3 +193,33 @@ def test_range_join_timestamps():
     )
     out = range_join(left, right, on="ts", lo_col="lo", hi_col="hi").to_pandas()
     assert sorted(out["id"]) == [0, 1]  # 61min and 200min fall outside
+
+
+def test_range_join_mixed_type_domains():
+    """Float probes vs integer bounds must follow BETWEEN semantics
+    (10.5 not in [5, 10]); ms-unit probes vs us-unit bounds must
+    compare as instants, not raw ticks."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from tenzir_ray.ops.join import range_join
+
+    left = ray.data.from_arrow(pa.table({"id": [0, 1], "x": [10.5, 9.5]}))
+    right = pa.table({"iv": ["a"], "lo": [5], "hi": [10]})
+    out = range_join(left, right, on="x", lo_col="lo", hi_col="hi").to_pandas()
+    assert sorted(out["id"]) == [1]  # 10.5 is OUT of [5, 10]
+
+    base = pd.Timestamp("2024-01-01")
+    left = ray.data.from_arrow(
+        pa.table({"id": [0, 1], "ts": pa.array(
+            [base + pd.Timedelta(minutes=30), base + pd.Timedelta(minutes=90)],
+            type=pa.timestamp("ms"))})
+    )
+    right = pa.table({
+        "iv": ["w"],
+        "lo": pa.array([base], type=pa.timestamp("us")),
+        "hi": pa.array([base + pd.Timedelta(hours=1)], type=pa.timestamp("us")),
+    })
+    out = range_join(left, right, on="ts", lo_col="lo", hi_col="hi").to_pandas()
+    assert sorted(out["id"]) == [0]
