@@ -96,13 +96,14 @@ _ALLOC_TUNED = False
 def _tune_allocator() -> None:
     """Once per worker process: stretch jemalloc's dirty-page decay so
     Arrow's alloc/free cycles reuse already-mapped pages instead of
-    returning them to the kernel between tasks. Measured on this host
+    returning them to the kernel between tasks. Context
     (BENCH/host_ceiling_probes_r03.json): at 32-way concurrency the
-    map tasks spend as much time in the KERNEL as in user code —
-    page-fault/zone-lock churn from ~130 MB of transient allocations
-    per task — and that, not CPU, is the >8-cpu scaling ceiling.
-    Cost: dirty pages stay resident up to the decay window (bounded by
-    per-worker peak, the price a throughput engine wants to pay).
+    map tasks spend nearly as much time in the KERNEL as in user code
+    (page-fault churn from ~130 MB of transient allocations per task)
+    — that, not CPU, is the >8-cpu scaling ceiling. The clean quiet
+    A/B shows the latch buys a small (~4%) but consistent wall win;
+    it does NOT reduce the kernel time itself. Cost: dirty pages stay
+    resident up to the decay window (bounded by per-worker peak).
     ``TENZIR_RAY_ALLOC_DECAY_MS=0`` restores the pyarrow default."""
     global _ALLOC_TUNED
     if _ALLOC_TUNED:
