@@ -227,11 +227,10 @@ def _topk_fn(on: str, name: str, k: int = _TOPK_K) -> AggregateFn:
     most n/(k+1). Finalizes to ``[[value, count], ...]`` sorted by
     count desc then value — the scale path for "top N of a
     billion-cardinality column" where an exact groupby-count shuffle
-    is the bottleneck. Accumulator is a JSON string (survives the
-    Arrow block round-trip between map and reduce), so reported values
-    are STRINGS regardless of the input column type — callers needing
-    the native type re-cast; values whose str() forms collide would
-    merge (only possible across mixed-type columns)."""
+    is the bottleneck. Accumulator is a JSON LIST of [value, count]
+    pairs (survives the Arrow block round-trip between map and reduce
+    while keeping the column's native int/float/str values — JSON
+    object KEYS would have forced strings)."""
     import json
 
     def _shrink(d: dict) -> dict:
@@ -240,29 +239,31 @@ def _topk_fn(on: str, name: str, k: int = _TOPK_K) -> AggregateFn:
         cut = sorted(d.values(), reverse=True)[k]
         return {v: c - cut for v, c in d.items() if c > cut}
 
+    def _dump(d: dict) -> str:
+        return json.dumps(list(_shrink(d).items()))
+
     def acc_block(acc: str, blk) -> str:
-        d = json.loads(acc)
+        d = {v: c for v, c in json.loads(acc)}
         vc = pc.value_counts(_col(blk, on))
         vals = vc.field("values").to_pylist()  # block-cardinality-bounded
         cnts = vc.field("counts").to_pylist()
         for v, c in zip(vals, cnts):
             if v is not None:
-                v = str(v)
                 d[v] = d.get(v, 0) + c
-        return json.dumps(_shrink(d))
+        return _dump(d)
 
     def merge(a: str, b: str) -> str:
-        da, db = json.loads(a), json.loads(b)
-        for v, c in db.items():
+        da = {v: c for v, c in json.loads(a)}
+        for v, c in json.loads(b):
             da[v] = da.get(v, 0) + c
-        return json.dumps(_shrink(da))
+        return _dump(da)
 
     def finalize(acc: str):
-        d = json.loads(acc)
-        return [[v, c] for v, c in sorted(d.items(), key=lambda x: (-x[1], x[0]))]
+        d = {v: c for v, c in json.loads(acc)}
+        return [[v, c] for v, c in sorted(d.items(), key=lambda x: (-x[1], str(x[0])))]
 
     return AggregateFn(
-        init=lambda k_: json.dumps({}),
+        init=lambda k_: json.dumps([]),
         accumulate_block=acc_block,
         merge=merge,
         finalize=finalize,

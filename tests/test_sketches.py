@@ -139,3 +139,12 @@ def test_quantile_cardinality_guard(monkeypatch):
         ops.summarize(
             _make_ds([float(i) for i in range(100)]), aggs={"m": ("median", "v")}
         ).take_all()
+
+
+def test_topk_preserves_native_types():
+    out = ops.summarize(
+        _make_ds([7, 7, 7, 3, 3, 9]), aggs={"top": ("approx_top_k", "v")}
+    ).take_all()
+    top = out[0]["top"]
+    assert top[0] == [7, 3] and top[1] == [3, 2]
+    assert isinstance(top[0][0], int)  # int column -> int values, not str
