@@ -31,6 +31,16 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+# silence the known-cosmetic "Failed to hash the schemas" worker log line
+# that Ray emits on FOREIGN pandas-written parquet before our metadata
+# strip can run (see tenzir_ray/ray_data_logging.yaml for the full why);
+# must be set before ray.init so workers inherit it
+os.environ.setdefault(
+    "RAY_DATA_LOGGING_CONFIG",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "tenzir_ray", "ray_data_logging.yaml"),
+)
+
 # bench binlog shape (cached; keyed by these params via the dir name)
 BENCH_EVENTS = int(os.environ.get("BENCH_EVENTS", "1500000"))
 BENCH_REPOS = 500

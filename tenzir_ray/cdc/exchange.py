@@ -283,20 +283,24 @@ def apply_chunk_direct(
     # per-key, so pre-reducing a mixed-bucket part is exactly as
     # correct as the per-bucket salt, and the decision stays valid for
     # prefetched map phases whose part plan predates this histogram.
-    hot_salted = sorted(
-        int(b) for b, c in (hot or {}).items()
-        if int(c) > salt_threshold and any(int(b) in p for p in phase.parts)
-    )
-    hot_set = set(hot_salted)
+    hot_set = {int(b) for b, c in (hot or {}).items() if int(c) > salt_threshold}
     merger_ref = ray.put(
         _FinalMerge(lake.root, {k: v["path"] for k, v in man["files"].items()}, version, target_json)
     )
     meta_refs = []
+    # lineage records only the hot buckets whose containing part ACTUALLY
+    # received the salted partial-reduce this chunk (a hot bucket sitting
+    # in a single-unit part, or in a part planned before the histogram
+    # update, is not salted and must not be claimed as such)
+    hot_salted: set = set()
     for part_ids, unit_refs in zip(phase.parts, phase.refs):
-        if hot_set.intersection(part_ids) and len(unit_refs) > 1:
+        hot_here = hot_set.intersection(part_ids)
+        if hot_here and len(unit_refs) > 1:
             groups = [g for g in np.array_split(np.array(unit_refs, dtype=object), num_salts) if len(g)]
             unit_refs = [_partial_reduce.remote(*list(g)) for g in groups]
+            hot_salted.update(int(b) for b in hot_here)
         meta_refs.append(_merge_part.remote(merger_ref, *unit_refs))
+    hot_salted = sorted(hot_salted)
     meta = pa.concat_tables(ray.get(meta_refs)).to_pandas()
     t_merge = _time.perf_counter() - t0
     if not commit:
@@ -306,6 +310,12 @@ def apply_chunk_direct(
         "chunk": chunk_id,
         "buckets_touched": int(len(meta)),
         "hot_buckets_salted": hot_salted,
+        # hot buckets that were isolated into their own reduce part at
+        # plan time (skew handling mechanism #1; salting is #2 and only
+        # fires when a part has >1 map-unit slice to pre-reduce)
+        "hot_buckets_isolated": sorted(
+            int(p[0]) for p in phase.parts if len(p) == 1 and int(p[0]) in hot_set
+        ),
         "combine_sec": 0.0,  # fused into the map tasks (overlaps merge)
         "salt_setup_sec": 0.0,
         "merge_sec": round(t_merge, 3),

@@ -82,7 +82,7 @@ def shuffle_join(
 
     ``how`` accepts the pyarrow-style names lookup_join uses ('inner',
     'left outer', 'right outer', 'full outer', 'left semi', ...).
-    ``num_partitions`` defaults to ~2x cluster CPUs — at 100 TB size it
+    ``num_partitions`` defaults to ~2x cluster CPUs. At 100 TB, size it
     so ONE partition pair fits a worker's heap, and reuse one
     partitioning key across pipeline stages where possible."""
     mapping = {

@@ -82,6 +82,13 @@ def _merge_all(a, b):
     return a and b
 
 
+# cardinality guard for the exact distinct/count_distinct path: the
+# accumulator holds every distinct value, so a billion-cardinality
+# column must error loudly instead of silently growing a worker heap
+# (mirrors _MAX_QUANTILE_DISTINCT below)
+_MAX_EXACT_DISTINCT = 1_000_000
+
+
 def _distinct_fn(on: str, name: str, count_only: bool) -> AggregateFn:
     """Exact distinct set (sorted list) / exact distinct cardinality —
     set-based like the reference, NOT a sketch
@@ -89,14 +96,38 @@ def _distinct_fn(on: str, name: str, count_only: bool) -> AggregateFn:
     work is ``pc.unique`` (vectorized); only unique values enter the
     accumulator. The accumulator is a LIST, not a set: Ray round-trips
     accumulators through Arrow blocks between map and reduce, which
-    turns sets into lists."""
+    turns sets into lists. Per block we build a membership set ONCE and
+    append only unseen values (no full union-rebuild of the list).
+    Scale contract: > _MAX_EXACT_DISTINCT accumulated distinct values
+    raises loudly — use ``approx_count_distinct`` (HLL) instead."""
+
+    def _check(acc: list) -> list:
+        if len(acc) > _MAX_EXACT_DISTINCT:
+            raise ValueError(
+                f"exact {'count_distinct' if count_only else 'distinct'}({on}): "
+                f"> {_MAX_EXACT_DISTINCT} distinct values; use "
+                "approx_count_distinct (HyperLogLog) for unbounded-cardinality columns"
+            )
+        return acc
+
+    def acc_block(acc, blk):
+        u = pc.unique(_col(blk, on)).drop_null().to_pylist()
+        acc = list(acc)  # Arrow round-trip may hand back a numpy array
+        if not acc:
+            return _check(list(dict.fromkeys(u)))
+        seen = set(acc)
+        return _check(acc + [v for v in dict.fromkeys(u) if v not in seen])
+
+    def merge(a, b):
+        a = list(a)
+        seen = set(a)
+        return _check(a + [v for v in b if v not in seen])
+
     return AggregateFn(
         init=lambda k: [],
-        accumulate_block=lambda acc, blk: list(
-            set(acc) | set(pc.unique(_col(blk, on)).drop_null().to_pylist())
-        ),
-        merge=lambda a, b: list(set(a) | set(b)),
-        finalize=(lambda a: len(set(a))) if count_only else (lambda a: sorted(set(a))),
+        accumulate_block=acc_block,
+        merge=merge,
+        finalize=(lambda a: len(a)) if count_only else (lambda a: sorted(a)),
         name=name,
     )
 
@@ -243,8 +274,25 @@ def _topk_fn(on: str, name: str, k: int = _TOPK_K) -> AggregateFn:
         return json.dumps(list(_shrink(d).items()))
 
     def acc_block(acc: str, blk) -> str:
+        col = _col(blk, on)
+        t = col.type
+        # the accumulator is JSON, so only JSON-native value types can
+        # ride it — fail loudly up front instead of a TypeError deep
+        # inside a Ray aggregation task (binary/decimal/struct/...)
+        if not (
+            pa.types.is_integer(t)
+            or pa.types.is_floating(t)
+            or pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+            or pa.types.is_boolean(t)
+        ):
+            raise ValueError(
+                f"approx_top_k({on}): unsupported column type {t} — only "
+                "int/float/string/bool values survive the JSON accumulator; "
+                "cast the column first (e.g. hex-encode binary)"
+            )
         d = {v: c for v, c in json.loads(acc)}
-        vc = pc.value_counts(_col(blk, on))
+        vc = pc.value_counts(col)
         vals = vc.field("values").to_pylist()  # block-cardinality-bounded
         cnts = vc.field("counts").to_pylist()
         for v, c in zip(vals, cnts):

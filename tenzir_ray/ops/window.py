@@ -92,7 +92,19 @@ def hopping_count(
 
     def explode(t: pa.Table) -> pa.Table:
         typ = t.schema.field(ts_col).type
-        hop_u = hop_td.value // _UNIT_NS[typ.unit]
+        if not pa.types.is_timestamp(typ):
+            raise TypeError(
+                f"hopping_count: column {ts_col!r} must be a timestamp, got {typ}"
+            )
+        unit_ns = _UNIT_NS[typ.unit]
+        if hop_td.value % unit_ns or hop_td.value < unit_ns:
+            # e.g. hop='500ms' over a second-resolution column would
+            # integer-divide to 0 and collapse every event to epoch 0
+            raise ValueError(
+                f"hopping_count: hop {hop!r} is not a positive multiple of the "
+                f"{ts_col!r} column's resolution ({typ.unit})"
+            )
+        hop_u = hop_td.value // unit_ns
         vv = np.asarray(t[ts_col].cast(pa.int64()).combine_chunks())
         base = (vv // hop_u) * hop_u
         starts = np.concatenate([base - i * hop_u for i in range(k)])
@@ -132,14 +144,19 @@ def sessionize_sorted(
     gap_td = pd.Timedelta(gap)
     sort_keys = [key, ts_col] + ([tiebreak] if tiebreak else [])
 
-    ctx = ray.data.DataContext.get_current()
-    prev_order = ctx.execution_options.preserve_order
-    ctx.execution_options.preserve_order = True
+    # Every Dataset snapshots its own DataContext (``ds.context`` is the
+    # per-plan copy, not the process-global singleton), so flipping
+    # preserve_order here affects ONLY this pipeline — concurrent
+    # datasets on the same driver keep their own setting.
+    sorted_ds = ds.sort(sort_keys)
+    lineage_ctx = sorted_ds.context  # shared with the caller's ``ds`` lineage only
+    prev_order = lineage_ctx.execution_options.preserve_order
+    lineage_ctx.execution_options.preserve_order = True
     try:
-        mat = ds.sort(sort_keys).materialize()
+        mat = sorted_ds.materialize()
         refs = mat.to_arrow_refs()
     finally:
-        ctx.execution_options.preserve_order = prev_order
+        lineage_ctx.execution_options.preserve_order = prev_order
 
     def _flags(df: pd.DataFrame):
         """new-session flag per row of a sorted frame (block-local:
@@ -206,7 +223,9 @@ def sessionize_sorted(
         sid = starts - 1 - key_base
         sid[key_vals == key_vals[0]] += off
         df[out_col] = sid.astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # strip the pandas schema-metadata blob: schemas WITH metadata are
+        # unhashable in pyarrow, defeating Ray Data's schema dedup
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     out_refs = [_assign.remote(r, off) for r, off in zip(refs, offsets)]
     return ray.data.from_arrow_refs(out_refs)

@@ -25,6 +25,15 @@ from ray.data import Dataset
 from tenzir_ray.expr import Node, to_dataset_filter
 
 
+def _strip_schema_metadata(t):
+    """Drop schema-level metadata (e.g. the ``pandas`` blob parquet files
+    written by pandas carry). pyarrow's ``Schema.__hash__`` raises
+    ``unhashable type: 'dict'`` on any schema WITH metadata, which defeats
+    Ray Data's schema deduplication (``unify_schemas`` logs "Failed to
+    hash the schemas" on every concat). Zero-copy — metadata only."""
+    return t.replace_schema_metadata(None)
+
+
 def read_parquet(
     paths: Union[str, Sequence[str]],
     columns: Optional[Sequence[str]] = None,
@@ -69,6 +78,12 @@ def read_parquet(
         flt = to_dataset_filter(predicate, schema)
     ds = ray.data.read_parquet(
         paths, columns=list(columns) if columns else None, filter=flt, **kwargs
+    )
+    # fused into the read op by Ray's operator fusion; keeps every
+    # downstream block's schema hashable so schema dedup works
+    ds = ds.map_batches(
+        _strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
     )
     if predicate is not None and flt is None:
         from tenzir_ray.ops import where as _where

@@ -125,16 +125,30 @@ def test_skew_salting():
     shutil.rmtree(bl, ignore_errors=True)
     generate_binlog(
         bl, n_events=4_000, n_repos=3, paths_per_repo=40, shard_events=2_000,
-        content_median=96, zipf_alpha=3.0,
+        content_median=96, zipf_alpha=3.0, row_group_size=256,
     )
     root = fresh_lake("hot")
     # chunk 1 builds the bucket histogram; chunk 2 salts the hot buckets
-    # (histogram-driven skew detection has a one-chunk lag by design)
+    # (histogram-driven skew detection has a one-chunk lag by design).
+    # row_group_size=256 gives each shard multiple map units, so the hot
+    # parts actually have >1 slice to pre-reduce (lineage records only
+    # salting that FIRED, not every planned-hot bucket).
     replay(bl, root, num_buckets=8, chunk_shards=1, salt_threshold=5, num_salts=4)
     man = Lake(root).latest_manifest()
     assert any(e.get("hot_buckets_salted") for e in man["lineage"])
     res = oracle.compare_states(Lake(root).to_arrow(), oracle.materialize(bl))
     assert res["ok"], res["mismatches"][:3]
+    # with prefetch the chunk-2 part plan predates chunk 1's histogram
+    # (documented one-chunk lag), so hot-bucket ISOLATION (singleton
+    # parts) needs a fresh plan: replay without prefetch and check
+    # mechanism #1 fires too
+    root2 = fresh_lake("hot_noprefetch")
+    replay(bl, root2, num_buckets=8, chunk_shards=1, salt_threshold=5,
+           num_salts=4, prefetch=False)
+    man2 = Lake(root2).latest_manifest()
+    assert any(e.get("hot_buckets_isolated") for e in man2["lineage"])
+    res2 = oracle.compare_states(Lake(root2).to_arrow(), oracle.materialize(bl))
+    assert res2["ok"], res2["mismatches"][:3]
 
 
 def test_lake_key_pruned_read(binlog_dir):

@@ -289,6 +289,27 @@ def test_hopping_count_rejects_bad_width(ray_session):
         hopping_count(ds, "k", "ts", width="1h", hop="7min")
 
 
+def test_hopping_count_rejects_subresolution_hop_and_non_timestamp(ray_session):
+    """ADVICE r3: hop finer than the column's unit would integer-divide
+    to 0 and collapse everything into epoch-0 windows; a non-timestamp
+    ts column would AttributeError deep in a task. Both must raise
+    clearly."""
+    import pandas as pd
+    import pytest
+    import pyarrow as pa
+    import ray
+
+    from tenzir_ray.ops.window import hopping_count
+
+    ts_s = pa.array([pd.Timestamp("2024-01-01")]).cast(pa.timestamp("s"))
+    ds = ray.data.from_arrow(pa.table({"k": [1], "ts": ts_s}))
+    with pytest.raises(Exception, match="resolution"):
+        hopping_count(ds, "k", "ts", width="1s", hop="500ms").materialize()
+    ds2 = ray.data.from_arrow(pa.table({"k": [1], "ts": [42]}))
+    with pytest.raises(Exception, match="timestamp"):
+        hopping_count(ds2, "k", "ts", width="1h", hop="15min").materialize()
+
+
 def test_sessionize_sorted_matches_groupby_on_skew(ray_session):
     # VERDICT r2: per-key ordered-merge path for hot keys — one key
     # holds 80% of rows across many blocks; output must equal the

@@ -148,3 +148,37 @@ def test_topk_preserves_native_types():
     top = out[0]["top"]
     assert top[0] == [7, 3] and top[1] == [3, 2]
     assert isinstance(top[0][0], int)  # int column -> int values, not str
+
+
+def test_exact_distinct_cardinality_guard(monkeypatch):
+    """count_distinct/distinct must raise loudly past the cardinality
+    bound (pointing at approx_count_distinct) instead of silently
+    growing a worker heap."""
+    import importlib
+
+    import pytest
+
+    s = importlib.import_module("tenzir_ray.ops.summarize")
+    monkeypatch.setattr(s, "_MAX_EXACT_DISTINCT", 10)
+    with pytest.raises(Exception, match="approx_count_distinct"):
+        ops.summarize(
+            _make_ds(list(range(100))), aggs={"n": ("count_distinct", "v")}
+        ).take_all()
+    # under the bound: still exact
+    out = ops.summarize(
+        _make_ds([1, 2, 2, 3]), aggs={"n": ("count_distinct", "v")}
+    ).take_all()
+    assert out[0]["n"] == 3
+
+
+def test_topk_rejects_non_json_native_types():
+    """approx_top_k's JSON accumulator cannot carry binary values — the
+    error must be a clear up-front ValueError, not a TypeError deep in a
+    Ray task."""
+    import pytest
+
+    ds = ray.data.from_arrow(
+        pa.table({"v": pa.array([b"a", b"b", b"a"], type=pa.binary())})
+    )
+    with pytest.raises(Exception, match="approx_top_k"):
+        ops.summarize(ds, aggs={"top": ("approx_top_k", "v")}).take_all()
