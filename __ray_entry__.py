@@ -348,16 +348,22 @@ def _q_parse_props(sf_dir):
 
 def _q_lww_latest_event(sf_dir):
     """LWW-by-key semantics (the CDC merge) over a registered view: the
-    latest event per user (ties broken by event_id)."""
+    latest event per user (ties broken by event_id). Shape: four
+    ``arg_max`` AggregateFns — one hash-shuffle of (key, winner) pairs
+    with map-side combining, NO per-group map_groups task (VERDICT r3
+    item 5: at 10^9 users the per-group bookkeeping dominates)."""
     ds = read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type", "value"])
-
-    def latest(g: pa.Table) -> pa.Table:
-        ts = g["ts"].to_numpy(zero_copy_only=False)
-        eid = g["event_id"].to_numpy(zero_copy_only=False)
-        i = int(np.lexsort((eid, ts))[-1])
-        return g.take(pa.array([i]))
-
-    out = ds.groupby("user_id").map_groups(latest, batch_format="pyarrow")
+    out = ops.summarize(
+        ds,
+        aggs={
+            "ts": ("arg_max", ["ts", "ts", "event_id"]),
+            "event_id": ("arg_max", ["event_id", "ts", "event_id"]),
+            "event_type": ("arg_max", ["event_type", "ts", "event_id"]),
+            "value": ("arg_max", ["value", "ts", "event_id"]),
+        },
+        by="user_id",
+    )
+    out = ops.select(out, ["user_id", "ts", "event_id", "event_type", "value"])
     return _round_cols(out, ["value"], 2)
 
 
@@ -615,6 +621,23 @@ def _q_tql_revenue(sf_dir):
     return _round_cols(out, ["revenue"], 2)
 
 
+def _q_tql_median_quantile(sf_dir):
+    """TQL surface for the round-3 exact median/quantile and arg_max
+    aggregates (VERDICT r3 item 8): the whole query is a TQL string."""
+    from tenzir_ray import tql
+
+    ds = read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_returnflag", "l_quantity", "l_orderkey"]
+    )
+    out = tql.run(
+        "summarize med=median(l_quantity), q95=quantile_cont_0.95(l_quantity), "
+        "top_order=arg_max(l_orderkey, l_quantity, l_orderkey) by l_returnflag "
+        "| sort l_returnflag",
+        ds,
+    )
+    return _round_cols(out, ["med", "q95"], 4)
+
+
 _SIGMA_RULE = """
 title: big purchase
 detection:
@@ -736,6 +759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_counts": _q_hopping_counts,
         "tql_sessionize_hot": _q_tql_sessionize_hot,
         "tql_dedup_exact": _q_tql_dedup_exact,
+        "tql_median_quantile": _q_tql_median_quantile,
     }
 
 
@@ -1031,6 +1055,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag,
                    round(median(l_quantity), 4) AS med_qty,
                    round(quantile_cont(l_discount, 0.95), 4) AS p95_disc
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "tql_median_quantile": """
+            SELECT l_returnflag,
+                   round(median(l_quantity), 4) AS med,
+                   round(quantile_cont(l_quantity, 0.95), 4) AS q95,
+                   first(l_orderkey ORDER BY l_quantity DESC, l_orderkey DESC) AS top_order
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "summarize_by_hour": f"""

@@ -27,7 +27,9 @@ from tenzir_ray import ops
 
 # split on single '|' (not '||' which is boolean OR inside expressions)
 _PIPE_RE = re.compile(r"(?<!\|)\|(?!\|)")
-_AGG_RE = re.compile(r"^\s*(\w+)\s*=\s*(\w+)\s*\(\s*([\w.]+|\.)?\s*\)\s*$")
+# alias = func(args): func may be dotted (quantile_cont_0.95); args may
+# be "." (row count), one column, or a comma list (arg_max payload+order)
+_AGG_RE = re.compile(r"^\s*(\w+)\s*=\s*([\w.]+)\s*\(\s*([\w.,\s]*)\)\s*$")
 
 
 def _split_commas(text: str) -> List[str]:
@@ -99,11 +101,14 @@ def _compile_stage(stage: str) -> Callable[[Dataset], Dataset]:
         desc = len(parts) > 1 and parts[1].lower() in ("desc", "descending")
         return lambda ds: ops.sort(ds, key, descending=desc)
     if op in ("top", "rare"):
+        # top <field> [k] [--approx]
         parts = rest.split()
+        approx = "--approx" in parts
+        parts = [p for p in parts if p != "--approx"]
         field = parts[0]
         k = int(parts[1]) if len(parts) > 1 else None
         fn = ops.top if op == "top" else ops.rare
-        return lambda ds: fn(ds, field, k=k)
+        return lambda ds: fn(ds, field, k=k, approx=approx)
     if op == "summarize":
         # summarize out=f(col), ... by k1, k2
         if " by " in rest:
@@ -116,8 +121,15 @@ def _compile_stage(stage: str) -> Callable[[Dataset], Dataset]:
             m = _AGG_RE.match(item)
             if not m:
                 raise ValueError(f"bad aggregate {item!r} (want name=func(col))")
-            alias, func, col = m.group(1), m.group(2), m.group(3)
-            aggs[alias] = (func, None if col in (None, ".") else col)
+            alias, func, arg = m.group(1), m.group(2), m.group(3).strip()
+            cols = [c.strip() for c in arg.split(",") if c.strip()]
+            if func in ("arg_max", "arg_min"):
+                aggs[alias] = (func, cols)  # [payload, order1, ...]
+            elif len(cols) > 1:
+                raise ValueError(f"{func} takes one column, got {arg!r}")
+            else:
+                col = cols[0] if cols else None
+                aggs[alias] = (func, None if col in (None, ".") else col)
         return lambda ds: ops.summarize(ds, aggs, by=by)
     if op == "hash":
         parts = rest.split()

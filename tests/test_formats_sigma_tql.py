@@ -236,3 +236,37 @@ def test_cryptopan_naive_oracle_agrees():
     op = CryptoPanLike(fields=["ip"], seed="bench")
     for a in ("10.0.3.7", "10.0.3.8", "192.168.1.1", "2001:db8::5", "0.0.0.0"):
         assert op.anonymize_ip(a) == naive.pan_pseudonym(a, seed="bench")
+
+
+def test_tql_new_aggregates_and_approx_top():
+    """Round-3 aggregates via the TQL grammar: median, quantile_cont_<q>,
+    approx_count_distinct, arg_max (multi-arg), top --approx, and the
+    loud rare --approx rejection."""
+    t = pa.table(
+        {
+            "g": ["a"] * 5 + ["b"] * 5,
+            "v": [1.0, 2.0, 3.0, 4.0, 100.0, 10.0, 20.0, 30.0, 40.0, 50.0],
+            "id": list(range(10)),
+        }
+    )
+    ds = ray.data.from_arrow([t.slice(0, 5), t.slice(5)])
+    rows = {
+        r["g"]: r
+        for r in tql.run(
+            "summarize med=median(v), q5=quantile_cont_0.5(v), "
+            "d=approx_count_distinct(v), w=arg_max(id, v, id) by g",
+            ds,
+        ).take_all()
+    }
+    assert rows["a"]["med"] == 3.0 and rows["b"]["med"] == 30.0
+    assert rows["a"]["q5"] == 3.0
+    assert rows["a"]["d"] == 5
+    assert rows["a"]["w"] == 4 and rows["b"]["w"] == 9  # row of max v per group
+
+    skew = pa.table({"x": ["hot"] * 50 + ["warm"] * 20 + ["c1", "c2", "c3"]})
+    top = tql.run("top x 2 --approx", ray.data.from_arrow(skew)).take_all()
+    assert [r["x"] for r in top] == ["hot", "warm"]
+    assert top[0]["count"] >= top[1]["count"]
+
+    with pytest.raises(ValueError, match="rare --approx"):
+        tql.run("rare x 2 --approx", ray.data.from_arrow(skew))

@@ -182,3 +182,51 @@ def test_topk_rejects_non_json_native_types():
     )
     with pytest.raises(Exception, match="approx_top_k"):
         ops.summarize(ds, aggs={"top": ("approx_top_k", "v")}).take_all()
+
+
+def test_arg_max_arg_min_basic_and_grouped():
+    """arg_max/arg_min: DuckDB arg_max(payload, (order...)) semantics as
+    one mergeable accumulator (no per-group map_groups task)."""
+    vals = [10.0, 30.0, 20.0, 5.0, 50.0, 40.0]
+    order = [1, 3, 2, 9, 8, 7]
+    keys = ["a", "a", "a", "b", "b", "b"]
+    ds = ray.data.from_arrow(
+        [pa.table({"k": keys[i:i+2], "v": vals[i:i+2], "o": order[i:i+2]})
+         for i in range(0, 6, 2)]
+    )
+    from tenzir_ray import ops as _ops
+    rows = {
+        r["k"]: (r["amax"], r["amin"])
+        for r in _ops.summarize(
+            ds,
+            aggs={"amax": ("arg_max", ["v", "o"]), "amin": ("arg_min", ["v", "o"])},
+            by="k",
+        ).take_all()
+    }
+    assert rows["a"] == (30.0, 10.0)   # o=3 -> v=30; o=1 -> v=10
+    assert rows["b"] == (5.0, 40.0)    # o=9 -> v=5;  o=7 -> v=40
+
+
+def test_arg_max_composite_order_and_timestamp_payload():
+    import pandas as pd
+
+    ts = pa.array([pd.Timestamp("2024-01-01"), pd.Timestamp("2024-01-02"),
+                   pd.Timestamp("2024-01-02")]).cast(pa.timestamp("us"))
+    t = pa.table({"k": [1, 1, 1], "ts": ts, "tie": [5, 1, 2], "name": ["x", "y", "z"]})
+    from tenzir_ray import ops as _ops
+    out = _ops.summarize(
+        ray.data.from_arrow([t.slice(0, 2), t.slice(2)]),
+        aggs={"w": ("arg_max", ["name", "ts", "tie"]),
+              "wts": ("arg_max", ["ts", "ts", "tie"])},
+        by="k",
+    ).take_all()[0]
+    # 2024-01-02 ties; tie=2 > tie=1 -> row "z"
+    assert out["w"] == "z"
+    assert pd.Timestamp(out["wts"]) == pd.Timestamp("2024-01-02")
+
+
+def test_arg_max_null_order_rows_skipped():
+    t = pa.table({"v": [1, 2, 3], "o": pa.array([10, None, 5], type=pa.int64())})
+    from tenzir_ray import ops as _ops
+    out = _ops.summarize(ray.data.from_arrow(t), aggs={"w": ("arg_max", ["v", "o"])}).take_all()
+    assert out[0]["w"] == 1
