@@ -1028,27 +1028,83 @@ def _ngram_kernel(text_col: str, n: int):
 
 
 class SimHasher:
-    """64-bit SimHash over word tokens (compiled regex + seeded nothing
-    — stateless math, but the compiled regex lives per actor)."""
+    """64-bit SimHash over word tokens, batch-vectorized (VERDICT r3
+    item 3 — the per-word blake2b+unpackbits loop was the last
+    unvectorized signature kernel).
+
+    Word hash = a splitmix64 chain over the word's codepoints (the same
+    published full-avalanche mixer the shingle kernel uses; the whole
+    batch's words hash in ``max_word_len`` vectorized passes). Bit
+    votes accumulate per document with one cumulative-sum subtraction
+    per bit — no per-word or per-doc Python in the hot path. The word
+    tokenization (``\\w+`` over lowercased text) and the sign-sum rule
+    are unchanged; :func:`tenzir_ray.naive.simhash_losers` implements
+    the identical definition independently (scalar chain, all-pairs)."""
 
     def __init__(self, text_col: str):
         self.text_col = text_col
         self.word_re = re.compile(r"\w+")
 
     def simhash(self, text: Optional[str]) -> int:
+        """Scalar reference path (tests/small inputs)."""
         if not text:
             return 0
-        acc = np.zeros(64, dtype=np.int64)
-        for w in self.word_re.findall(text.lower()):
-            h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
-            bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8))
-            acc += bits.astype(np.int64) * 2 - 1
-        out = np.packbits((acc > 0).astype(np.uint8))
-        return int.from_bytes(out.tobytes(), "little")
+        return int(self._hashes_for_docs([self.word_re.findall(text.lower())])[0])
+
+    def _hashes_for_docs(self, docs: List[List[str]]) -> np.ndarray:
+        """Vectorized: one uint64 simhash per doc (list of tokens)."""
+        n_words_per_doc = np.array([len(d) for d in docs], dtype=np.int64)
+        total = int(n_words_per_doc.sum())
+        out = np.zeros(len(docs), dtype=np.uint64)
+        if total == 0:
+            return out
+        # one flat utf-32 buffer for every word in the batch
+        enc = b"".join(w.encode("utf-32-le") for d in docs for w in d)
+        cp = np.frombuffer(enc, dtype=np.uint32).astype(np.uint64)
+        wlens = np.fromiter(
+            (len(w) for d in docs for w in d), dtype=np.int64, count=total
+        )
+        wstarts = np.concatenate([[0], np.cumsum(wlens)[:-1]])
+        # chain splitmix64 over codepoints: pass j updates words len > j
+        h = np.zeros(total, dtype=np.uint64)
+        scratch = np.empty(total, dtype=np.uint64)
+        order = np.argsort(wlens, kind="stable")  # group by remaining length
+        sorted_lens = wlens[order]
+        maxlen = int(sorted_lens[-1])
+        lo = 0
+        h_s = h[order]
+        starts_s = wstarts[order]
+        for j in range(maxlen):
+            lo += int(np.searchsorted(sorted_lens[lo:], j + 1))
+            act = slice(lo, total)
+            x = h_s[act]
+            np.bitwise_xor(x, cp[starts_s[act] + j], out=x)
+            _splitmix64_inplace(x, scratch[: total - lo])
+            h_s[act] = x
+        h[order] = h_s
+        # per-doc bit votes: count of set bits per position via cumsum
+        dbound = np.concatenate([[0], np.cumsum(n_words_per_doc)])
+        half = n_words_per_doc.astype(np.int64)
+        bit = np.empty(total, dtype=np.int64)
+        cs = np.empty(total + 1, dtype=np.int64)
+        cs[0] = 0
+        for b in range(64):
+            np.right_shift(h, np.uint64(b), out=scratch)
+            np.bitwise_and(scratch, np.uint64(1), out=scratch)
+            bit[:] = scratch.view(np.int64)  # values 0/1
+            np.cumsum(bit, out=cs[1:])
+            ones = cs[dbound[1:]] - cs[dbound[:-1]]
+            # votes = 2*ones - n_words > 0  <=>  2*ones > n_words
+            out |= ((2 * ones > half).astype(np.uint64) << np.uint64(b))
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hs = [self.simhash(t) for t in batch[self.text_col].to_pylist()]
-        return batch.append_column("__simhash", pa.array(np.array(hs, dtype=np.uint64)))
+        docs = [
+            self.word_re.findall(t.lower()) if t else []
+            for t in batch[self.text_col].to_pylist()
+        ]
+        hs = self._hashes_for_docs(docs)
+        return batch.append_column("__simhash", pa.array(hs))
 
 
 def _simhash_kernel(text_col: str):

@@ -38,10 +38,34 @@ def _uf_losers(n_ids, pairs):
     return {x for x in parent if find(x) != x}
 
 
+_M64 = (1 << 64) - 1
+
+
+def _splitmix64_scalar(x: int) -> int:
+    """Plain-Python splitmix64 finalizer (Steele et al. 2014) — the
+    published mixer, written independently of the vectorized operator
+    kernel."""
+    x &= _M64
+    x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & _M64
+    x = (x ^ (x >> 27)) * 0x94D049BB133111EB & _M64
+    return x ^ (x >> 31)
+
+
+def _word_hash(w: str) -> int:
+    """64-bit word hash: splitmix64 chained over the word's codepoints
+    (h_0 = 0; h_{j+1} = splitmix64(h_j XOR cp_j)) — the SimHash word
+    hash this repo defines (shared definition, independent code)."""
+    h = 0
+    for ch in w:
+        h = _splitmix64_scalar(h ^ ord(ch))
+    return h
+
+
 def simhash_losers(documents_parquet: str, max_hamming: int = 2) -> set:
-    """All-pairs 64-bit SimHash near-dup losers: word tokens, blake2b-8
-    word hashes, sign-sum bits, exact pairwise hamming via bit-matrix
-    algebra (popcount(x^y) = |x| + |y| - 2 x·y)."""
+    """All-pairs 64-bit SimHash near-dup losers: word tokens,
+    codepoint-chained splitmix64 word hashes, sign-sum bits (bit b set
+    iff a strict majority of word hashes set bit b), exact pairwise
+    hamming via bit-matrix algebra (popcount(x^y) = |x| + |y| - 2 x·y)."""
     t = pq.read_table(documents_parquet, columns=["doc_id", "text"])
     ids = t["doc_id"].to_pylist()
     word_re = re.compile(r"\w+")
@@ -51,8 +75,8 @@ def simhash_losers(documents_parquet: str, max_hamming: int = 2) -> set:
             continue
         acc = np.zeros(64, dtype=np.int64)
         for w in word_re.findall(text.lower()):
-            h = hashlib.blake2b(w.encode(), digest_size=8).digest()
-            acc += np.unpackbits(np.frombuffer(h, dtype=np.uint8)).astype(np.int64) * 2 - 1
+            h = _word_hash(w)
+            acc += np.array([(h >> b) & 1 for b in range(64)], dtype=np.int64) * 2 - 1
         bits[row] = (acc > 0).astype(np.int8)
     b = bits.astype(np.float32)
     ones = b.sum(axis=1)
