@@ -509,6 +509,40 @@ def _q_asof_join(sf_dir):
     return _round_cols(out, ["last_order_price"], 2)
 
 
+def _q_asof_shuffle_join(sf_dir):
+    """Big-right as-of join via the range-partitioned SHUFFLE path
+    (VERDICT r3 item 6): same semantics as ``asof_join_events_orders``
+    but the right side stays a DATASET end to end — nothing is
+    collected or broadcast; both sides go through one distributed sort
+    of the tagged union with per-block-boundary carry rows. Right side
+    (unique (custkey, orderdate), ~1.5x the left's row count) is
+    deliberately bigger than the left."""
+    from ray.data.aggregate import Max
+
+    from tenzir_ray.ops.join import asof_shuffle_join
+
+    ev = read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    r_ds = (
+        read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_totalprice"])
+        .groupby(["o_custkey", "o_orderdate"])
+        .aggregate(Max("o_totalprice", alias_name="last_order_price"))
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t["o_orderdate"].cast(pa.timestamp("us"))
+        return pa.table(
+            {
+                "user_id": t["o_custkey"],
+                "ts": ts,
+                "last_order_price": t["last_order_price"],
+                "last_order_ts": ts,
+            }
+        )
+
+    out = asof_shuffle_join(ev, r_ds.map_batches(prep, **_PYARROW), on="ts", by="user_id")
+    return _round_cols(out, ["last_order_price"], 2)
+
+
 _DECAP_PCAP = "/tmp/tzr_q_packets.pcap"
 _DECAP_EXPECTED = "/tmp/tzr_decap_expected.parquet"
 _DECAP_N, _DECAP_SEED = 1200, 23
@@ -753,6 +787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decapsulate_packets": _q_decapsulate,
         "lookup_join_orders": _q_lookup_join,
         "asof_join_events_orders": _q_asof_join,
+        "asof_shuffle_join_events": _q_asof_shuffle_join,
         "sessionize_events": _q_sessionize,
         "tumbling_counts": _q_tumbling_counts,
         "shuffle_join_lineitem_orders": _q_shuffle_join,
@@ -1245,6 +1280,18 @@ def oracle_sql() -> dict[str, str]:
             FROM orders LEFT JOIN customer ON o_custkey = c_custkey
         """,
         "asof_join_events_orders": f"""
+            WITH r AS (
+                SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS ts,
+                       max(o_totalprice) AS last_order_price
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id, e.ts,
+                   {_sqlr('r.last_order_price')} AS last_order_price,
+                   r.ts AS last_order_ts
+            FROM events e ASOF LEFT JOIN r
+                ON e.user_id = r.user_id AND e.ts >= r.ts
+        """,
+        "asof_shuffle_join_events": f"""
             WITH r AS (
                 SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS ts,
                        max(o_totalprice) AS last_order_price

@@ -29,6 +29,27 @@ from ray.data import Dataset
 _PYARROW = dict(batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
+def _arrow_schema(ds: Dataset) -> pa.Schema:
+    """Dataset schema as a pyarrow.Schema. Pandas-backed datasets
+    expose a PandasBlockSchema (names + numpy dtypes); map those
+    through pyarrow's dtype bridge (object dtype -> string, the Arrow
+    convention for pandas text columns)."""
+    import numpy as np
+
+    base = ds.schema().base_schema
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for name, dtype in zip(base.names, base.types):
+        if isinstance(dtype, pa.DataType):
+            fields.append(pa.field(name, dtype))
+        elif getattr(dtype, "kind", None) == "O":
+            fields.append(pa.field(name, pa.string()))
+        else:
+            fields.append(pa.field(name, pa.from_numpy_dtype(np.dtype(dtype))))
+    return pa.schema(fields)
+
+
 def lookup_join(
     ds: Dataset,
     right: pa.Table,
@@ -155,6 +176,187 @@ def asof_join(
         AsofJoiner, concurrency=(1, max(2, cpus // 4)), num_cpus=0.5,
         batch_format="pandas", batch_size=None,
     )
+
+
+def asof_shuffle_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    by: Union[str, Sequence[str], None] = None,
+    direction: str = "backward",
+    suffix: str = "_r",
+) -> Dataset:
+    """Big-big as-of join — the escape hatch :func:`asof_join`'s
+    broadcast contract points to, for a right side too large to
+    ``ray.put``.
+
+    Shape (the ``sessionize_sorted`` boundary-fix pattern): tag each
+    side, align schemas (right payload columns are null on left rows
+    and vice versa), UNION the two datasets, and run ONE distributed
+    range-partition sort by ``(by..., on, side)`` with right rows
+    ordered before left rows on ``on``-ties (so exact matches are
+    visible, DuckDB ``ASOF`` / ``merge_asof(allow_exact_matches=True)``
+    semantics). Each sorted block then resolves matches with a
+    vectorized last-right-row-scan, and the ONLY cross-block state is
+    one carry row per block boundary (the latest right row of the
+    block's last key), fixed up with a driver walk over per-block
+    scalar metadata — never rows. Left rows with a null ``on`` value
+    never match (SQL semantics); right rows with a null ``on`` are
+    dropped up front.
+
+    Always LEFT OUTER (every left row survives; unmatched ones carry
+    null right payloads). Only ``direction='backward'`` is supported —
+    forward is the same algorithm on a reversed sort; ask if needed.
+    Output columns: all left columns, then right payload columns
+    (``suffix``-renamed on clashes). Uniqueness contract matches
+    :func:`asof_join`: right (by, on) combinations should be unique,
+    otherwise the last row in sort order wins deterministically."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data
+
+    if direction != "backward":
+        raise ValueError("asof_shuffle_join supports direction='backward' only")
+    by_cols: List[str] = [] if by is None else [by] if isinstance(by, str) else list(by)
+
+    l_schema = _arrow_schema(left)
+    r_schema = _arrow_schema(right)
+    key_cols = by_cols + [on]
+    for c in key_cols:
+        if c not in r_schema.names:
+            raise ValueError(f"right side missing join column {c!r}")
+    l_names = set(l_schema.names)
+    payload_src = [c for c in r_schema.names if c not in key_cols]
+    payload_map = {c: (c + suffix if c in l_names else c) for c in payload_src}
+    payload_types = {payload_map[c]: r_schema.field(c).type for c in payload_src}
+    l_only = [c for c in l_schema.names if c not in key_cols]
+    l_types = {c: l_schema.field(c).type for c in l_only}
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in t.column_names}
+        for name, typ in payload_types.items():
+            cols[name] = pa.nulls(t.num_rows, type=typ)
+        cols["__side"] = pa.array(np.ones(t.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[on]))  # null on-values never match
+        cols = {c: t[c] for c in key_cols}
+        for src, dst in payload_map.items():
+            cols[dst] = t[src]
+        for c, typ in l_types.items():
+            cols[c] = pa.nulls(t.num_rows, type=typ)
+        cols["__side"] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    out_cols = list(l_schema.names) + list(payload_map.values())
+    ordered = out_cols + ["__side"]
+    u = left.map_batches(tag_left, **_PYARROW).select_columns(ordered).union(
+        right.map_batches(tag_right, **_PYARROW).select_columns(ordered)
+    )
+    sorted_ds = u.sort(key_cols + ["__side"])
+    lineage_ctx = sorted_ds.context
+    prev_order = lineage_ctx.execution_options.preserve_order
+    lineage_ctx.execution_options.preserve_order = True
+    try:
+        refs = sorted_ds.materialize().to_arrow_refs()
+    finally:
+        lineage_ctx.execution_options.preserve_order = prev_order
+
+    payload_names = list(payload_map.values())
+
+    def _key_tuple(t: pa.Table, i: int):
+        return tuple(t[c][i].as_py() for c in by_cols) if by_cols else ()
+
+    @ray.remote(num_cpus=0.25)
+    def _meta(t: pa.Table):
+        """Scalars only: first/last key and the last right row of the
+        LAST key (its on-value + payload), for the driver carry walk."""
+        if t.num_rows == 0:
+            return None
+        n = t.num_rows
+        lk = _key_tuple(t, n - 1)
+        side = np.asarray(t["__side"].combine_chunks())
+        # last right row whose key == lk: keys are sorted, so scan the
+        # tail segment where the key equals lk
+        lo = 0
+        if by_cols:
+            import bisect
+
+            keys = list(zip(*[t[c].to_pylist() for c in by_cols]))
+            lo = bisect.bisect_left(keys, lk)
+        r_idx = np.flatnonzero(side[lo:] == 0)
+        carry = None
+        if r_idx.size:
+            i = lo + int(r_idx[-1])
+            carry = {c: t[c][i].as_py() for c in payload_names}
+            carry["__on"] = t[on][i].as_py()
+        return {"first_key": _key_tuple(t, 0), "last_key": lk, "carry": carry}
+
+    metas = ray.get([_meta.remote(r) for r in refs])
+
+    # driver walk: carry INTO each block = latest right row of the
+    # previous blocks IF its key equals this block's first key
+    carries: List[Optional[dict]] = []
+    state_key, state_carry = None, None
+    for m in metas:
+        if m is None:
+            carries.append(None)
+            continue
+        carries.append(state_carry if state_key == m["first_key"] else None)
+        if state_key == m["last_key"]:
+            state_carry = m["carry"] if m["carry"] is not None else (
+                state_carry if m["last_key"] == m["first_key"] else None
+            )
+        else:
+            state_key, state_carry = m["last_key"], m["carry"]
+
+    @ray.remote
+    def _assign(t: pa.Table, carry: Optional[dict]) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select(out_cols)
+        n = t.num_rows
+        side = np.asarray(t["__side"].combine_chunks())
+        pos = np.arange(n, dtype=np.int64)
+        last_r = np.maximum.accumulate(np.where(side == 0, pos, -1))
+        if by_cols:
+            new_key = np.zeros(n, dtype=bool)
+            new_key[0] = True
+            for c in by_cols:
+                col = t[c].combine_chunks()
+                v = col.to_numpy(zero_copy_only=False)
+                neq = v[1:] != v[:-1]
+                nulls = np.asarray(pc.is_null(col))
+                if nulls.any():  # null keys: group like values
+                    neq |= nulls[1:] != nulls[:-1]
+                new_key[1:] |= neq
+            key_start = np.maximum.accumulate(np.where(new_key, pos, 0))
+        else:
+            key_start = np.zeros(n, dtype=np.int64)
+        valid = last_r >= key_start
+        on_null = np.asarray(pc.is_null(t[on].combine_chunks()))
+        is_left = side == 1
+        take_idx = np.where(valid, last_r, 0)
+        lsel = np.flatnonzero(is_left)
+        cols = {c: t[c].combine_chunks().take(pa.array(lsel)) for c in l_schema.names}
+        for pname in payload_names:
+            src = t[pname].combine_chunks()
+            filled = src.take(pa.array(take_idx[lsel]))
+            lvalid = (valid & ~on_null)[lsel]
+            if not lvalid.all():
+                filled = pc.if_else(pa.array(lvalid), filled, pa.nulls(len(lsel), type=src.type))
+            # carry applies to this block's FIRST key's left rows (the
+            # key_start==0 segment) that precede any in-block right row
+            if carry is not None:
+                need = ~lvalid & (key_start[lsel] == 0) & ~on_null[lsel]
+                if need.any():
+                    cv = pa.array([carry[pname]] * len(lsel), type=src.type)
+                    filled = pc.if_else(pa.array(need), cv, filled)
+            cols[pname] = filled
+        return pa.table({c: cols[c] for c in out_cols})
+
+    out_refs = [_assign.remote(r, c) for r, c in zip(refs, carries)]
+    return ray.data.from_arrow_refs(out_refs)
 
 
 def range_join(

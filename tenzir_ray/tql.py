@@ -215,12 +215,21 @@ def _compile_stage(stage: str) -> Callable[[Dataset], Dataset]:
 
         return _hop
     if op == "asof-join":
-        # asof-join <parquet_path> on <ts> [by <key>]
+        # asof-join <parquet_path> on <ts> [by <key>] [--shuffle]
+        shuffle = rest.endswith(" --shuffle")
+        if shuffle:
+            rest = rest[: -len(" --shuffle")].rstrip()
         m = re.match(r"(\S+)\s+on\s+(\S+)(?:\s+by\s+(\S+))?$", rest)
         if not m:
-            raise ValueError("asof-join wants: <parquet> on <ts> [by <key>]")
+            raise ValueError("asof-join wants: <parquet> on <ts> [by <key>] [--shuffle]")
 
-        def _aj(ds, _p=m.group(1), _on=m.group(2), _by=m.group(3)):
+        def _aj(ds, _p=m.group(1), _on=m.group(2), _by=m.group(3), _sh=shuffle):
+            if _sh:  # big-right path: the right side stays a Dataset
+                import ray.data
+
+                from tenzir_ray.ops.join import asof_shuffle_join
+
+                return asof_shuffle_join(ds, ray.data.read_parquet(_p), on=_on, by=_by)
             import pyarrow.parquet as pq
 
             from tenzir_ray.ops.join import asof_join
