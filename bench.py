@@ -145,8 +145,14 @@ def run_queries() -> dict:
     ray.data.range(64).map_batches(lambda b: b).materialize()
     out = {}
     loads = {}
+    loads_start = {}
     attempts = int(os.environ.get("BENCH_QUERY_ATTEMPTS", "2"))
     for name in picks:
+        # quiet-window flag (VERDICT r3 item 10): the load BEFORE the
+        # query distinguishes "this query was slow" from "a tenant was
+        # already hammering the box when it started" without manual
+        # forensics across rounds
+        loads_start[name] = load1()
         best = None
         for _ in range(attempts):
             t0 = time.perf_counter()
@@ -166,11 +172,18 @@ def run_queries() -> dict:
         # worker count mean the wall time above was tenant-contended
         loads[name] = load1()
     out["_load1"] = loads
+    out["_load1_start"] = loads_start
     return out
 
 
 def one_run() -> dict:
     import ray
+
+    try:
+        with open("/proc/loadavg") as f:
+            load1_start = float(f.read().split()[0])
+    except OSError:
+        load1_start = None
 
     ray.init(
         address="local",
@@ -210,6 +223,9 @@ def one_run() -> dict:
         # inflate wall times up to 3x; readings > ~4 mean the run was
         # contended (our own workers also count while running)
         "load1_end": load1,
+        # quiet-window flag: load BEFORE the run started (tenant
+        # contention that predates us, not caused by us)
+        "load1_start": load1_start,
         "queries": queries,
         "sf": sf,
         "num_cpus": NUM_CPUS,

@@ -267,6 +267,7 @@ def apply_chunk_direct(
     False — the crash-window test hook)."""
     import time as _time
 
+    from tenzir_ray.cdc.lake import bucket_paths
     from tenzir_ray.cdc.merge import _FinalMerge, build_manifest, lake_schema_after
     from tenzir_ray.schema import schema_from_json, schema_to_json
 
@@ -285,7 +286,7 @@ def apply_chunk_direct(
     # prefetched map phases whose part plan predates this histogram.
     hot_set = {int(b) for b, c in (hot or {}).items() if int(c) > salt_threshold}
     merger_ref = ray.put(
-        _FinalMerge(lake.root, {k: v["path"] for k, v in man["files"].items()}, version, target_json)
+        _FinalMerge(lake.root, {k: bucket_paths(v) for k, v in man["files"].items()}, version, target_json)
     )
     meta_refs = []
     # lineage records only the hot buckets whose containing part ACTUALLY

@@ -114,6 +114,17 @@ class BloomFilter:
         return cls(spec["m"], int(spec["bits"], 16) if spec["bits"] else 0)
 
 
+def bucket_paths(entry: Dict) -> List[str]:
+    """Relative data paths of one manifest bucket entry. Merge commits
+    write ONE file per bucket (``"path"``); rebucket/compaction may
+    split an oversized bucket into MULTIPLE files (``"paths"`` — the
+    reference's 4Mi-row max-partition-size rule,
+    ``defaults.hpp:219``). Readers handle both."""
+    if "paths" in entry:
+        return list(entry["paths"])
+    return [entry["path"]]
+
+
 class Lake:
     """A bucketed Parquet lake table rooted at ``root``."""
 
@@ -188,7 +199,12 @@ class Lake:
         man = self.latest_manifest()
         files = man["files"]
         keys = [str(b) for b in buckets] if buckets is not None else sorted(files, key=int)
-        return [os.path.join(self.root, files[k]["path"]) for k in keys if k in files]
+        return [
+            os.path.join(self.root, rel)
+            for k in keys
+            if k in files
+            for rel in bucket_paths(files[k])
+        ]
 
     def read(
         self,
@@ -264,7 +280,11 @@ class Lake:
         latest+1, which the version guard leaves untouched."""
         man = self.latest_manifest()
         current = man["version"]
-        live = {os.path.basename(v["path"]) for v in man["files"].values()}
+        live = {
+            os.path.basename(rel)
+            for v in man["files"].values()
+            for rel in bucket_paths(v)
+        }
         removed = []
         ver_re = re.compile(r"-v(\d{6})\.parquet(?:\.tmp-\d+)?$")
         for name in os.listdir(self.data_dir):

@@ -48,7 +48,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 from ray.data import Dataset
 
-from tenzir_ray.cdc.lake import Lake
+from tenzir_ray.cdc.lake import Lake, bucket_paths
 from tenzir_ray.schema import conform, schema_from_json, schema_to_json, unify_schemas
 
 # event-stream bookkeeping columns that do NOT become lake columns
@@ -135,9 +135,9 @@ class _FinalMerge:
     """Per-bucket final merge + staged write (runs inside
     ``groupby(_bucket).map_groups`` tasks; Arrow in / Arrow out)."""
 
-    def __init__(self, lake_root: str, bucket_files: Dict[str, str], version: int, schema_json: list):
+    def __init__(self, lake_root: str, bucket_files: Dict[str, list], version: int, schema_json: list):
         self.lake_root = lake_root
-        self.bucket_files = bucket_files  # str(bucket) -> relpath
+        self.bucket_files = bucket_files  # str(bucket) -> [relpath, ...]
         self.version = version
         self.schema_json = schema_json
 
@@ -154,11 +154,17 @@ class _FinalMerge:
 
         delta = decompress_content(delta)
 
-        base_rel = self.bucket_files.get(str(bucket))
-        if base_rel is not None:
+        base_rels = self.bucket_files.get(str(bucket))
+        if base_rels is not None:
             # single-threaded: runs inside a 1-CPU merge task (pyarrow's
-            # default pool would use every core on the node)
-            base = pq.read_table(os.path.join(self.lake_root, base_rel), use_threads=False)
+            # default pool would use every core on the node). A bucket
+            # may span multiple files after a rebucket/compaction split
+            # (lake.bucket_paths) -- the merge re-unifies it into one.
+            parts = [
+                pq.read_table(os.path.join(self.lake_root, rel), use_threads=False)
+                for rel in base_rels
+            ]
+            base = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
             # base rows join the LWW race with their stored commit_seq;
             # 'base' op marks them live (missing fields -> null = the
             # record-cast rule of cast.hpp)
@@ -293,7 +299,7 @@ def apply_chunk(
     # stage 3: per-bucket final merge + staged writes (the shuffle)
     t0 = _time.perf_counter()
     merger = _FinalMerge(
-        lake.root, {k: v["path"] for k, v in man["files"].items()}, version, target_json
+        lake.root, {k: bucket_paths(v) for k, v in man["files"].items()}, version, target_json
     )
 
     def final_merge(t: pa.Table) -> pa.Table:
