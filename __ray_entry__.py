@@ -198,7 +198,7 @@ def _q_range_join(sf_dir):
     iv_ds = ds.map_batches(pick_intervals, batch_format="pyarrow", zero_copy_batch=True)
     import ray as _ray
 
-    parts = [t for t in _ray.get(iv_ds.to_arrow_refs()) if t.num_rows]
+    parts = [t for t in _ray.get(iv_ds.materialize().to_arrow_refs()) if t.num_rows]
     iv = pa.concat_tables(parts) if parts else pa.table(
         {"iv_id": pa.array([], pa.int64()),
          "lo": pa.array([], pa.timestamp("us")),
@@ -498,7 +498,7 @@ def _q_asof_join(sf_dir):
         .aggregate(Max("o_totalprice", alias_name="last_order_price"))
     )
     r_tbl = pa.concat_tables(
-        [t for t in _ray.get(r_ds.to_arrow_refs()) if t.num_rows]
+        [t for t in _ray.get(r_ds.materialize().to_arrow_refs()) if t.num_rows]
     )
     r = r_tbl.to_pandas().rename(columns={"o_custkey": "user_id"})
     # date32 round-trips as datetime64[s]; merge_asof needs the exact

@@ -22,7 +22,9 @@ shape:
 from __future__ import annotations
 
 import hashlib
+import os
 import re
+import time
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -38,15 +40,23 @@ from tenzir_ray.arrowutil import ranges, splitmix64, str_slices
 _PYARROW = dict(batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 _MAX_FULL_PAIR_BUCKET = 64
-# candidate-count ceiling for the broadcast verification fast path
-# (~300 shingles × 8 B ≈ 2.4 KiB per candidate → ≤ ~50 MiB broadcast)
-_BROADCAST_CAND_LIMIT = 20_000
+# ceilings for the broadcast verification fast path: the BYTE bound is
+# the real contract (one zero-copy replica of the candidate shingle
+# sets per node via the object store); the count bound only guards the
+# driver-side python id->row dict build.
+_BROADCAST_SHINGLE_BYTES = 512 * 1024 * 1024
+_BROADCAST_CAND_LIMIT = 2_000_000
 
 
 def _collect_small(ds: Dataset) -> pa.Table:
     """Gather a dataset KNOWN to be small (edge lists, metadata rows)
     into one Arrow table on the driver."""
-    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    # materialize() first: to_arrow_refs() on a LAZY dataset calls
+    # schema(fetch_if_missing=True) after its execution, which re-runs
+    # the whole DAG a second time under limit(1) — measured at 10x docs
+    # as a full duplicate of the verification exchange. A materialized
+    # dataset has its schema cached, so to_arrow_refs is zero-copy.
+    tables = [t for t in ray.get(ds.materialize().to_arrow_refs()) if t.num_rows]
     if not tables:
         return None
     return pa.concat_tables(tables)
@@ -330,7 +340,6 @@ class MinHasher:
 _KERNEL_CACHE: Dict[Tuple, object] = {}
 # per-worker-process pair-verification verdict cache (see
 # ``verify_broadcast`` inside :func:`dedup_minhash_lsh`)
-_VERIFY_CACHE: Dict = {}
 
 
 def _minhash_kernel(text_col: str, num_perm: int, shingle_k: int):
@@ -438,6 +447,43 @@ def _jaccard_sorted(x: np.ndarray, y: np.ndarray) -> float:
     return inter / max(1, x.size + y.size - inter)
 
 
+def _tr_mat(label: str, lazy: "Dataset") -> "Dataset":
+    """Materialize a dedup stage that is pinned anyway, timing it when
+    TZR_DEDUP_TRACE is set."""
+    t0 = time.perf_counter()
+    m = lazy.materialize()
+    if os.environ.get("TZR_DEDUP_TRACE"):
+        print(f"[dedup-trace] {label}: {time.perf_counter() - t0:.2f}s "
+              f"rows={m.count()}", flush=True)
+    return m
+
+
+def _probe_intersections(
+    shared: np.ndarray, probes: np.ndarray, probe_off: np.ndarray
+) -> np.ndarray:
+    """Per-segment count of ``probes`` values present in the SORTED
+    unique ``shared`` array — one vectorized binary search + cumsum
+    (``probe_off`` delimits segments, relative to ``probes``)."""
+    nseg = len(probe_off) - 1
+    if shared.size == 0 or probes.size == 0:
+        return np.zeros(nseg, dtype=np.int64)
+    pos = np.searchsorted(shared, probes)
+    np.minimum(pos, shared.size - 1, out=pos)
+    hits = shared[pos] == probes
+    hc = np.concatenate([[0], np.cumsum(hits)])
+    return hc[probe_off[1:]] - hc[probe_off[:-1]]
+
+
+def _jaccard_keep_from_inter(
+    inter: np.ndarray, sa: np.ndarray, sb: np.ndarray, threshold: float
+) -> np.ndarray:
+    union = sa + sb - inter
+    keep = union == 0  # two empty shingle sets: Jaccard defined as 1
+    nz = union > 0
+    keep[nz] = inter[nz] / union[nz] >= threshold
+    return keep
+
+
 def dedup_minhash_lsh(
     ds: Dataset,
     text_col: str,
@@ -460,12 +506,10 @@ def dedup_minhash_lsh(
     2. the candidate-id set (ids only) broadcasts via ``ray.put``;
        shingle sets for THOSE docs are extracted task-side inside
        ``map_batches`` over the already-materialized hashed dataset;
-    3. pair verification is a reduce-side join: pair rows keyed by
-       ``a`` union shingle rows keyed by id → groupby → attach
-       ``sh_a`` (duplicate pairs from different bands collapse here,
-       before any verification work) → rekey by ``b`` → groupby →
-       jaccard — all in tasks, shuffling only candidate ids + shingle
-       sets;
+    3. pair verification: band-duplicate pairs collapse FIRST (ids
+       only), then two hash-shuffle joins attach both shingle sets and
+       a vectorized batch Jaccard filters — all in tasks, shuffling
+       only candidate ids + shingle sets;
     4. only verified edges (≈ true near-duplicates) reach the driver
        for union-find; losers broadcast back as one id set."""
     # TASK-based minhash: MinHasher state (seed array) costs
@@ -567,10 +611,35 @@ def _verified_edges(
     recompute for MinHash, a stored-column read for n-gram Jaccard.
 
     Two paths, both shuffling only candidate ids + shingle sets (never
-    the corpus): a broadcast fast path when the candidate set is modest,
-    else a two-leg reduce-side join. Returns the verified edge set
+    the corpus): a broadcast fast path when the candidate shingle sets
+    fit one object-store replica per node, else a bucketed exchange
+    with in-task pyarrow hash joins. Both verify with the grouped
+    binary-search Jaccard kernel. Returns the verified edge set
     (bounded by the true near-duplicate count)."""
     sh_type = pa.list_(pa.uint64())
+
+    # global pair dedup + a-sort FIRST, while rows are just two ids:
+    # the same (a, b) pair arrives once per LSH band (measured 5M raw
+    # rows for 1.9M unique pairs at 10x docs), and without this ONE
+    # cheap all-to-all every duplicate would be re-verified (the
+    # per-worker seen-cache misses most cross-block repeats). The
+    # in-bucket (a, b) sort also makes a-runs contiguous, which the
+    # verify kernels exploit (one shared-A binary-search per run).
+    def _pair_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("__pb", _key_bucket(t["a"]))
+
+    def _pair_uniq(g: pa.Table) -> pa.Table:
+        u = g.select(["a", "b"]).group_by(["a", "b"]).aggregate([])
+        return u.take(
+            pc.sort_indices(u, sort_keys=[("a", "ascending"), ("b", "ascending")])
+        )
+
+    pairs = _tr_mat(
+        "pairs_uniq",
+        pairs.map_batches(_pair_bucket, **_PYARROW)
+        .groupby("__pb")
+        .map_groups(_pair_uniq, batch_format="pyarrow"),
+    )
 
     # candidate-id set: ids only, broadcast once
     def _pair_ids(t: pa.Table) -> pa.Table:
@@ -597,205 +666,267 @@ def _verified_edges(
             }
         )
 
+    import os as _os
+    import time as _time
+
+    _trace = bool(_os.environ.get("TZR_DEDUP_TRACE"))
+
+    def _tr(label, ds_):
+        if not _trace:
+            return ds_
+        t0 = _time.perf_counter()
+        m = ds_.materialize()
+        print(f"[dedup-trace] {label}: {_time.perf_counter() - t0:.2f}s "
+              f"rows={m.count()}", flush=True)
+        return m
+
+    # candidate shingle sets — pin once (candidates only, never the
+    # corpus); both verification paths read from this
+    cand_sh = _tr_mat("cand_sh", hashed.map_batches(extract_shingles, **_PYARROW))
+
     # -- broadcast fast path ------------------------------------------------
-    # When the candidate set is modest, the shingle sets of JUST the
-    # candidates fit in one broadcast object: verify every pair in a
-    # single map_batches over the (small) pair table — zero extra
-    # shuffles. The two-groupby reduce-side join below is the
-    # arbitrarily-large-candidate-count fallback; both paths shuffle
-    # only candidate ids + shingles, never the corpus.
-    if len(cand_set) <= _BROADCAST_CAND_LIMIT:
-        sh_tbl = _collect_small(hashed.map_batches(extract_shingles, **_PYARROW))
-        sh_map = {
-            i: np.asarray(s, dtype=np.uint64)
-            for i, s in zip(sh_tbl[id_col].to_pylist(), sh_tbl["__sh"].to_pylist())
-        }
-        sh_ref = ray.put(sh_map)
+    # When the candidate shingle sets fit in one broadcast object (one
+    # copy per NODE via the object store — the byte bound is the real
+    # contract, the count bound only guards the python id->row dict),
+    # verify every pair in a single map_batches over the (small) pair
+    # table — zero extra shuffles. The bucketed exchange below is the
+    # beyond-node-memory fallback; both paths shuffle only candidate
+    # ids + shingles, never the corpus.
+    if (
+        cand_sh.size_bytes() <= _BROADCAST_SHINGLE_BYTES
+        and len(cand_set) <= _BROADCAST_CAND_LIMIT
+    ):
+        _t_csr = _time.perf_counter()
+        sh_tbl = _collect_small(cand_sh)
+        # id-sort + CSR-pack the candidate shingle sets (one flat
+        # uint64 array + offsets + a sorted id array) so the per-batch
+        # verify maps ids to rows with ONE vectorized searchsorted
+        # (integer ids; a python dict only for string ids).
+        sh_tbl = sh_tbl.take(
+            pc.sort_indices(sh_tbl, sort_keys=[(id_col, "ascending")])
+        )
+        sh_col = sh_tbl["__sh"].combine_chunks()
+        csr_flat = np.asarray(pc.list_flatten(sh_col), dtype=np.uint64)
+        csr_sizes = np.asarray(pc.list_value_length(sh_col), dtype=np.int64)
+        csr_off = np.concatenate([[0], np.cumsum(csr_sizes)])
+        int_ids = pa.types.is_integer(id_type)
+        if int_ids:
+            csr_ids = np.asarray(sh_tbl[id_col].combine_chunks())
+        else:
+            csr_ids = {i: x for x, i in enumerate(sh_tbl[id_col].to_pylist())}
+        sh_ref = ray.put((csr_ids, csr_flat, csr_off))
+        if _trace:
+            print(f"[dedup-trace] csr_build: {_time.perf_counter() - _t_csr:.2f}s "
+                  f"cands={len(csr_ids)} bytes={csr_flat.nbytes}", flush=True)
         edge_schema = pa.schema([("a", id_type), ("b", id_type)])
 
-        ref_key = sh_ref.hex()
-
         def verify_broadcast(t: pa.Table) -> pa.Table:
-            m = ray.get(sh_ref)
-            # per-WORKER verdict cache: the same (a, b) pair arrives
-            # from up to `bands` different LSH buckets, usually in
-            # different blocks, so a per-batch seen-set misses most of
-            # the duplication. Keyed by the broadcast ref so a new
-            # query never reads stale verdicts; bounded so a huge
-            # candidate stream can't grow worker heaps unboundedly.
-            if _VERIFY_CACHE.get("key") != ref_key:
-                _VERIFY_CACHE.clear()
-                _VERIFY_CACHE["key"] = ref_key
-                _VERIFY_CACHE["verdicts"] = {}
-            verdicts = _VERIFY_CACHE["verdicts"]
-            a_out, b_out = [], []
-            for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist()):
-                if (a, b) in verdicts:  # verified (and emitted) already
-                    continue
-                ok = _jaccard_sorted(m[a], m[b]) >= threshold
-                if len(verdicts) < 2_000_000:
-                    verdicts[(a, b)] = ok
-                if ok:
-                    a_out.append(a)
-                    b_out.append(b)
-            return pa.table(
-                {"a": pa.array(a_out, type=id_type), "b": pa.array(b_out, type=id_type)}
+            # pairs are globally unique and a-sorted per bucket (the
+            # pairs_uniq exchange), so no seen-cache is needed and
+            # a-runs arrive contiguous.
+            if t.num_rows == 0:
+                return edge_schema.empty_table()
+            ids, flat, off = ray.get(sh_ref)
+            if int_ids:
+                av = np.asarray(t["a"].combine_chunks())
+                bv = np.asarray(t["b"].combine_chunks())
+                ia = np.searchsorted(ids, av)
+                ib = np.searchsorted(ids, bv)
+            else:
+                al, bl = t["a"].to_pylist(), t["b"].to_pylist()
+                ia = np.fromiter((ids[x] for x in al), np.int64, len(al))
+                ib = np.fromiter((ids[x] for x in bl), np.int64, len(bl))
+            # each contiguous a-run binary-searches its partners'
+            # values against ONE shared sorted A array — the b side is
+            # gathered once per pair, the a side never copied
+            sa = off[ia + 1] - off[ia]
+            sb = off[ib + 1] - off[ib]
+            vb = flat[np.repeat(off[ib], sb) + ranges(sb)]
+            b_off = np.concatenate([[0], np.cumsum(sb)])
+            bounds = np.concatenate(
+                [[0], np.flatnonzero(np.diff(ia)) + 1, [len(ia)]]
             )
+            inter = np.zeros(len(ia), dtype=np.int64)
+            for k in range(len(bounds) - 1):
+                lo, hi = int(bounds[k]), int(bounds[k + 1])
+                arow = int(ia[lo])
+                inter[lo:hi] = _probe_intersections(
+                    flat[off[arow] : off[arow + 1]],
+                    vb[b_off[lo] : b_off[hi]],
+                    b_off[lo : hi + 1] - b_off[lo],
+                )
+            keep = _jaccard_keep_from_inter(inter, sa, sb, threshold)
+            return t.select(["a", "b"]).filter(pa.array(keep))
 
-        edge_tbl = _collect_small(pairs.map_batches(verify_broadcast, **_PYARROW))
+        # the pairs_uniq exchange can emit few large blocks; re-split so
+        # the verify saturates the cluster (rows are two ids — cheap)
+        nblk = max(32, 4 * int(ray.cluster_resources().get("CPU", 4)))
+        vpairs = pairs.repartition(nblk) if pairs.count() > 200_000 else pairs
+        edge_tbl = _collect_small(
+            _tr("verify_broadcast", vpairs.map_batches(verify_broadcast, **_PYARROW))
+        )
         return (
             set(zip(edge_tbl["a"].to_pylist(), edge_tbl["b"].to_pylist()))
             if edge_tbl is not None
             else set()
         )
 
-    # consumed by both join legs — pin once (candidates only, small)
-    cand_sh = hashed.map_batches(extract_shingles, **_PYARROW).materialize()
+    # -- beyond-broadcast path: two bucketed in-task-join exchanges --------
+    # The round-3 shape here (tagged union + sort-based groupby per join
+    # leg with per-group Python segmentation) was measured superlinear at
+    # 10x docs: every (a, b) pair arrived once per LSH band and each sort
+    # carried full shingle-list payloads. New shape:
+    #   1. pairs (already globally unique — the pairs_uniq exchange)
+    #      and shingle blobs co-group by the 4096-way hash bucket of
+    #      the join key;
+    #   2. each bucket task joins pairs to blobs with pyarrow's C hash
+    #      join (Acero rejects list payloads, so shingle sets travel as
+    #      packed uint64 binary blobs);
+    #   3. verify with the grouped binary-search Jaccard kernel
+    #      (:func:`_probe_intersections` per shared-side run).
 
-    # reduce-side join, leg 1: attach sh_a (keyed by a). The Ray
-    # groupby runs on a 4096-way HASH BUCKET of the join key (one
-    # group per candidate id would pay Ray's per-group cost a
-    # candidate-count number of times); per-key segmentation happens
-    # inside the task after an in-task sort.
-    join_schema = pa.schema(
-        [("__jb", pa.int64()), ("__jk", id_type), ("a", id_type), ("b", id_type), ("__sh", sh_type)]
-    )
-
-    def pairs_keyed_a(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "__jb": _key_bucket(t["a"]),
-                "__jk": t["a"],
-                "a": t["a"],
-                "b": t["b"],
-                "__sh": pa.nulls(t.num_rows, type=sh_type),
-            },
-            schema=join_schema,
+    def _list_to_binary(col) -> pa.Array:
+        # pack each sorted-unique uint64 shingle set as raw
+        # little-endian bytes (zero-copy from the list buffers):
+        # binary joins + ships smaller than list<uint64>
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = np.ascontiguousarray(pc.list_flatten(col))
+        sizes = np.asarray(pc.list_value_length(col), dtype=np.int64)
+        offsets = np.zeros(len(sizes) + 1, dtype=np.int32)
+        np.cumsum(sizes * 8, out=offsets[1:])
+        return pa.Array.from_buffers(
+            pa.binary(), len(sizes),
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(vals.tobytes())],
         )
 
-    def shingles_keyed(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "__jb": _key_bucket(t[id_col]),
-                "__jk": t[id_col],
-                "a": pa.nulls(t.num_rows, type=id_type),
-                "b": pa.nulls(t.num_rows, type=id_type),
-                "__sh": t["__sh"],
-            },
-            schema=join_schema,
-        )
+    def _binary_view(col):
+        """(values: uint64 ndarray, sizes: int64 ndarray) zero-copy view
+        of a null-free binary column of packed uint64 blobs."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        off = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+            col.offset : col.offset + len(col) + 1
+        ]
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        vals = data[off[0] : off[-1]].view(np.uint64)
+        return vals, (np.diff(off) // 8).astype(np.int64)
 
-    leg1 = pairs.map_batches(pairs_keyed_a, **_PYARROW).union(
-        cand_sh.map_batches(shingles_keyed, **_PYARROW)
+    _t_blob = _time.perf_counter()
+    blobs = cand_sh.map_batches(
+        lambda t: pa.table({"__jk": t[id_col], "__blob": _list_to_binary(t["__sh"])}),
+        **_PYARROW,
+    ).materialize()
+    if _trace:
+        print(f"[dedup-trace] blobs: {_time.perf_counter() - _t_blob:.2f}s "
+              f"rows={blobs.count()}", flush=True)
+
+    bin_t = pa.binary()
+
+    # leg A: co-group pairs (keyed by a) with blobs (keyed by id) and
+    # hash-join inside each bucket task — output (a, b, __sha)
+    legA_schema = pa.schema(
+        [("__gb", pa.int64()), ("__jk", id_type), ("b", id_type), ("__blob", bin_t)]
     )
 
-    out1_schema = pa.schema([("a", id_type), ("b", id_type), ("__sha", sh_type)])
+    def legA_pairs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"__gb": _key_bucket(t["a"]), "__jk": t["a"], "b": t["b"],
+             "__blob": pa.nulls(t.num_rows, type=bin_t)},
+            schema=legA_schema,
+        )
+
+    def legA_blobs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"__gb": _key_bucket(t["__jk"]), "__jk": t["__jk"],
+             "b": pa.nulls(t.num_rows, type=id_type), "__blob": t["__blob"]},
+            schema=legA_schema,
+        )
+
+    outA_schema = pa.schema([("a", id_type), ("b", id_type), ("__sha", bin_t)])
 
     def attach_a(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
-            return out1_schema.empty_table()
-        g = g.take(pc.sort_indices(g, sort_keys=[("__jk", "ascending")]))
-        jk = g["__jk"].to_pylist()
-        av = g["a"].to_pylist()  # None marks a shingle row
-        bv = g["b"].to_pylist()
-        shv = g["__sh"].to_pylist()
-        a_out, b_out, sha_out = [], [], []
-        i, n = 0, len(jk)
-        while i < n:
-            j = i
-            while j < n and jk[j] == jk[i]:
-                j += 1
-            sh = next((shv[x] for x in range(i, j) if av[x] is None), None)
-            if sh is not None:
-                # duplicate pairs from different LSH bands collapse
-                # here, BEFORE any jaccard work
-                seen = set()
-                for x in range(i, j):
-                    if av[x] is not None and bv[x] not in seen:
-                        seen.add(bv[x])
-                        a_out.append(av[x])
-                        b_out.append(bv[x])
-                        sha_out.append(sh)
-            i = j
+        pair_part = g.filter(pc.is_valid(g["b"])).select(["__jk", "b"])
+        sh_part = g.filter(pc.is_null(g["b"])).select(["__jk", "__blob"])
+        if pair_part.num_rows == 0 or sh_part.num_rows == 0:
+            return outA_schema.empty_table()
+        j = pair_part.join(sh_part, keys=["__jk"], join_type="inner")
         return pa.table(
-            {
-                "a": pa.array(a_out, type=id_type),
-                "b": pa.array(b_out, type=id_type),
-                "__sha": pa.array(sha_out, type=sh_type),
-            },
-            schema=out1_schema,
+            {"a": j["__jk"], "b": j["b"], "__sha": j["__blob"]}, schema=outA_schema
         )
 
-    with_sha = leg1.groupby("__jb").map_groups(attach_a, batch_format="pyarrow")
-
-    # leg 2: attach sh_b (keyed by b) + verify
-    join2_schema = pa.schema(
-        [("__jb", pa.int64()), ("__jk", id_type), ("a", id_type), ("b", id_type), ("__sha", sh_type), ("__sh", sh_type)]
+    with_sha = _tr(
+        "with_sha",
+        pairs.map_batches(legA_pairs, **_PYARROW)
+        .union(blobs.map_batches(legA_blobs, **_PYARROW))
+        .groupby("__gb")
+        .map_groups(attach_a, batch_format="pyarrow"),
     )
 
-    def pairs_keyed_b(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "__jb": _key_bucket(t["b"]),
-                "__jk": t["b"],
-                "a": t["a"],
-                "b": t["b"],
-                "__sha": t["__sha"],
-                "__sh": pa.nulls(t.num_rows, type=sh_type),
-            },
-            schema=join2_schema,
-        )
-
-    def shingles_keyed2(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "__jb": _key_bucket(t[id_col]),
-                "__jk": t[id_col],
-                "a": pa.nulls(t.num_rows, type=id_type),
-                "b": pa.nulls(t.num_rows, type=id_type),
-                "__sha": pa.nulls(t.num_rows, type=sh_type),
-                "__sh": t["__sh"],
-            },
-            schema=join2_schema,
-        )
-
-    leg2 = with_sha.map_batches(pairs_keyed_b, **_PYARROW).union(
-        cand_sh.map_batches(shingles_keyed2, **_PYARROW)
+    # leg B: same exchange keyed by b, then vectorized verify in-task
+    legB_schema = pa.schema(
+        [("__gb", pa.int64()), ("__jk", id_type), ("a", id_type),
+         ("__sha", bin_t), ("__blob", bin_t)]
     )
+
+    def legB_pairs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"__gb": _key_bucket(t["b"]), "__jk": t["b"], "a": t["a"],
+             "__sha": t["__sha"], "__blob": pa.nulls(t.num_rows, type=bin_t)},
+            schema=legB_schema,
+        )
+
+    def legB_blobs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"__gb": _key_bucket(t["__jk"]), "__jk": t["__jk"],
+             "a": pa.nulls(t.num_rows, type=id_type),
+             "__sha": pa.nulls(t.num_rows, type=bin_t), "__blob": t["__blob"]},
+            schema=legB_schema,
+        )
 
     edge_schema = pa.schema([("a", id_type), ("b", id_type)])
 
-    def verify_pairs(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
+    def verify_b(g: pa.Table) -> pa.Table:
+        pair_part = g.filter(pc.is_valid(g["a"])).select(["__jk", "a", "__sha"])
+        sh_part = g.filter(pc.is_null(g["a"])).select(["__jk", "__blob"])
+        if pair_part.num_rows == 0 or sh_part.num_rows == 0:
             return edge_schema.empty_table()
-        g = g.take(pc.sort_indices(g, sort_keys=[("__jk", "ascending")]))
-        jk = g["__jk"].to_pylist()
-        av = g["a"].to_pylist()  # None marks a shingle row
-        bv = g["b"].to_pylist()
-        shav = g["__sha"].to_pylist()
-        shv = g["__sh"].to_pylist()
-        a_out, b_out = [], []
-        i, n = 0, len(jk)
-        while i < n:
-            j = i
-            while j < n and jk[j] == jk[i]:
-                j += 1
-            sh = next((shv[x] for x in range(i, j) if av[x] is None), None)
-            if sh is not None:
-                sh_b = np.asarray(sh, dtype=np.uint64)
-                for x in range(i, j):
-                    if av[x] is not None and _jaccard_sorted(
-                        np.asarray(shav[x], dtype=np.uint64), sh_b
-                    ) >= threshold:
-                        a_out.append(av[x])
-                        b_out.append(bv[x])
-            i = j
-        return pa.table(
-            {"a": pa.array(a_out, type=id_type), "b": pa.array(b_out, type=id_type)},
-            schema=edge_schema,
+        j = pair_part.join(sh_part, keys=["__jk"], join_type="inner")
+        if j.num_rows == 0:
+            return edge_schema.empty_table()
+        # sort by the join key so rows sharing a b-side blob are
+        # contiguous; each run binary-searches its a-side values
+        # against the ONE shared sorted B array
+        j = j.take(pc.sort_indices(j, sort_keys=[("__jk", "ascending")]))
+        va, sa = _binary_view(j["__sha"])
+        vb, sb = _binary_view(j["__blob"])
+        a_off = np.concatenate([[0], np.cumsum(sa)])
+        b_off = np.concatenate([[0], np.cumsum(sb)])
+        codes = np.asarray(
+            j["__jk"].combine_chunks().dictionary_encode().indices
         )
+        bounds = np.concatenate(
+            [[0], np.flatnonzero(np.diff(codes)) + 1, [len(codes)]]
+        )
+        inter = np.zeros(j.num_rows, dtype=np.int64)
+        for k in range(len(bounds) - 1):
+            lo, hi = int(bounds[k]), int(bounds[k + 1])
+            inter[lo:hi] = _probe_intersections(
+                vb[b_off[lo] : b_off[lo + 1]],
+                va[a_off[lo] : a_off[hi]],
+                a_off[lo : hi + 1] - a_off[lo],
+            )
+        keep = pa.array(_jaccard_keep_from_inter(inter, sa, sb, threshold))
+        j = j.filter(keep)
+        return pa.table({"a": j["a"], "b": j["__jk"]}, schema=edge_schema)
 
-    verified = leg2.groupby("__jb").map_groups(verify_pairs, batch_format="pyarrow")
+    verified = _tr(
+        "verified",
+        with_sha.map_batches(legB_pairs, **_PYARROW)
+        .union(blobs.map_batches(legB_blobs, **_PYARROW))
+        .groupby("__gb")
+        .map_groups(verify_b, batch_format="pyarrow"),
+    )
 
     edge_tbl = _collect_small(verified)
     return (
