@@ -1061,7 +1061,8 @@ def dedup_ngram_jaccard(
         sizes = np.diff(offs)
         p = np.maximum(sizes - np.ceil(threshold * sizes).astype(np.int64) + 1, 0)
         p = np.minimum(p, sizes)  # empty docs -> 0
-        take = np.repeat(offs[:-1], p) + _ranges(p)
+        pos = _ranges(p)  # position of each prefix token in the sorted set
+        take = np.repeat(offs[:-1], p) + pos
         doc_idx = np.repeat(np.arange(len(sizes)), p)
         ids = t[id_col].combine_chunks().take(pa.array(doc_idx, type=pa.int64()))
         sh = flat[take]
@@ -1077,6 +1078,7 @@ def dedup_ngram_jaccard(
                 "sbucket": pa.array((sh % np.uint64(_NGRAM_SHINGLE_BUCKETS)).astype(np.int64)),
                 id_col: ids,
                 "sz": pa.array(np.repeat(sizes, p).astype(np.int32)),
+                "pos": pa.array(pos.astype(np.int32)),
             }
         )
 
@@ -1096,18 +1098,14 @@ def dedup_ngram_jaccard(
         multi = np.flatnonzero(seg_len >= 2)
         if not multi.size:
             return pair_schema.empty_table()
-        ids = g[id_col].to_pylist()
-        sz = g["sz"].to_numpy(zero_copy_only=False)
-        a_out, b_out = [], []
+        sz = g["sz"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ps = g["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        xs, ys = [], []
         for si in multi:
             lo_i, m = int(bounds[si]), int(seg_len[si])
             if m <= _MAX_PREFIX_GROUP:
-                for x in range(lo_i, lo_i + m):
-                    for y in range(x + 1, lo_i + m):
-                        lo, hi = (sz[x], sz[y]) if sz[x] <= sz[y] else (sz[y], sz[x])
-                        if lo >= np.ceil(threshold * hi):  # PPJoin length filter
-                            a_out.append(ids[x])
-                            b_out.append(ids[y])
+                xi, yi = np.triu_indices(m, k=1)
+                x, y = lo_i + xi, lo_i + yi
             else:
                 # degenerate hot shingle (usually a giant identical-doc
                 # cluster): star to the min id — LINEAR candidates,
@@ -1115,12 +1113,35 @@ def dedup_ngram_jaccard(
                 # minhash bucket cap. Cross-pairs between distinct
                 # sub-clusters of one hot shingle rely on their own
                 # rarer prefix shingles.
-                for y in range(lo_i + 1, lo_i + m):
-                    lo, hi = (sz[lo_i], sz[y]) if sz[lo_i] <= sz[y] else (sz[y], sz[lo_i])
-                    if lo >= np.ceil(threshold * hi):
-                        a_out.append(ids[lo_i])
-                        b_out.append(ids[y])
-        return pa.table({"a": pa.array(a_out, type=id_type), "b": pa.array(b_out, type=id_type)})
+                x = np.full(m - 1, lo_i, dtype=np.int64)
+                y = lo_i + 1 + np.arange(m - 1, dtype=np.int64)
+            sx, sy = sz[x], sz[y]
+            # PPJoin length filter: |A ∩ B| >= t*max(|A|,|B|) is
+            # impossible when min < ceil(t*max)
+            keep = np.minimum(sx, sy) >= np.ceil(
+                threshold * np.maximum(sx, sy) - 1e-9
+            )
+            # PPJoin positional filter (Xiao et al., WWW'08 §3.2): a
+            # token shared at sorted-set positions (i, j) bounds the
+            # overlap by 1 + min(|A|-i-1, |B|-j-1); Jaccard >= t needs
+            # overlap >= t/(1+t)*(|A|+|B|). The pair's SMALLEST shared
+            # token always passes this, so any true pair still reaches
+            # the downstream pair-union — exact recall, fewer emissions
+            # (the -1e-9 keeps float ceil from over-pruning boundaries).
+            alpha = np.ceil(threshold / (1.0 + threshold) * (sx + sy) - 1e-9)
+            ub = 1 + np.minimum(sx - ps[x] - 1, sy - ps[y] - 1)
+            keep &= ub >= alpha
+            xs.append(x[keep])
+            ys.append(y[keep])
+        xa = np.concatenate(xs) if xs else np.empty(0, np.int64)
+        if not xa.size:
+            return pair_schema.empty_table()
+        ya = np.concatenate(ys)
+        ids_col = g[id_col].combine_chunks()
+        return pa.table(
+            {"a": ids_col.take(pa.array(xa)), "b": ids_col.take(pa.array(ya))},
+            schema=pair_schema,
+        )
 
     pairs = (
         shingled.map_batches(emit_prefix, **_PYARROW)
