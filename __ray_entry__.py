@@ -409,6 +409,17 @@ def _q_dedup_minhash(sf_dir):
     return ops.drop(out, ["text"])
 
 
+def _q_dedup_minhash_exchange(sf_dir):
+    # same result as dedup_minhash_docs, FORCED through the
+    # beyond-broadcast verification exchange (bucketed in-task joins) —
+    # the 100-TB path, oracle-checked on the same SQL
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = dedup.dedup_minhash_lsh(
+        ds, "text", "doc_id", threshold=0.8, verify_path="exchange"
+    )
+    return ops.drop(out, ["text"])
+
+
 def _q_dedup_ngram(sf_dir):
     ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = dedup.dedup_ngram_jaccard(ds, "text", "doc_id", n=3, threshold=0.6)
@@ -771,6 +782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_docs": _q_quality,
         "lang_id_docs": _q_lang_id,
         "dedup_minhash_docs": _q_dedup_minhash,
+        "dedup_minhash_docs_exchange": _q_dedup_minhash_exchange,
         "dedup_ngram_jaccard_docs": _q_dedup_ngram,
         "dedup_simhash_docs": _q_dedup_simhash,
         "dedup_embedding_vecs": _q_dedup_embedding,
@@ -1269,6 +1281,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id_docs": _LANG_ID_ORACLE,
         "dedup_minhash_docs": _MINHASH_ORACLE,
+        "dedup_minhash_docs_exchange": _MINHASH_ORACLE,
         "dedup_ngram_jaccard_docs": _NGRAM_ORACLE,
         "dedup_simhash_docs": _simhash_oracle(),
         "dedup_embedding_vecs": _embedding_oracle(),

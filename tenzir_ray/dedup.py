@@ -494,6 +494,7 @@ def dedup_minhash_lsh(
     shingle_k: int = 5,
     threshold: float = 0.7,
     verify: bool = True,
+    verify_path: str = "auto",
 ) -> Dataset:
     """MinHash+LSH near-dedup: shingle → minhash (cached-kernel tasks) → band →
     bucket groupby → candidate pairs → DISTRIBUTED exact n-gram Jaccard
@@ -591,6 +592,7 @@ def dedup_minhash_lsh(
         id_type,
         threshold,
         lambda sub: _shingle_sets(sub[text_col].to_pylist(), shingle_k),
+        verify_path=verify_path,
     )
     return _finish_drop(hashed, id_col, edges, ["__minhash"])
 
@@ -602,6 +604,7 @@ def _verified_edges(
     id_type: pa.DataType,
     threshold: float,
     shingles_of,
+    verify_path: str = "auto",
 ) -> set:
     """Distributed exact-Jaccard verification of candidate ``(a, b)``
     pairs — shared by the MinHash+LSH and n-gram-Jaccard dedups.
@@ -692,8 +695,11 @@ def _verified_edges(
     # table — zero extra shuffles. The bucketed exchange below is the
     # beyond-node-memory fallback; both paths shuffle only candidate
     # ids + shingles, never the corpus.
-    if (
-        cand_sh.size_bytes() <= _BROADCAST_SHINGLE_BYTES
+    if verify_path not in ("auto", "broadcast", "exchange"):
+        raise ValueError(f"verify_path must be auto/broadcast/exchange, got {verify_path!r}")
+    if verify_path == "broadcast" or (
+        verify_path == "auto"
+        and cand_sh.size_bytes() <= _BROADCAST_SHINGLE_BYTES
         and len(cand_set) <= _BROADCAST_CAND_LIMIT
     ):
         _t_csr = _time.perf_counter()
@@ -1005,6 +1011,7 @@ def dedup_ngram_jaccard(
     *,
     n: int = 3,
     threshold: float = 0.6,
+    verify_path: str = "auto",
 ) -> Dataset:
     """Exact word-n-gram Jaccard near-dedup via PREFIX FILTERING — the
     deterministic counterpart to :func:`dedup_minhash_lsh` (which trades
@@ -1153,7 +1160,10 @@ def dedup_ngram_jaccard(
     def stored_shingles(sub: pa.Table) -> List[np.ndarray]:
         return [np.asarray(s, dtype=np.uint64) for s in sub["__sh"].to_pylist()]
 
-    edges = _verified_edges(shingled, pairs, id_col, id_type, threshold, stored_shingles)
+    edges = _verified_edges(
+        shingled, pairs, id_col, id_type, threshold, stored_shingles,
+        verify_path=verify_path,
+    )
     return _finish_drop(shingled, id_col, edges, ["__sh"])
 
 
