@@ -348,23 +348,26 @@ def _q_parse_props(sf_dir):
 
 def _q_lww_latest_event(sf_dir):
     """LWW-by-key semantics (the CDC merge) over a registered view: the
-    latest event per user (ties broken by event_id). Shape: four
-    ``arg_max`` AggregateFns — one hash-shuffle of (key, winner) pairs
-    with map-side combining, NO per-group map_groups task (VERDICT r3
-    item 5: at 10^9 users the per-group bookkeeping dominates)."""
+    latest event per user (ties broken by event_id). Shape:
+    ``ops.lww_latest`` — a vectorized per-block winner pass (map-side
+    combine) before ONE bucketed shuffle of winners; no per-key Ray
+    group, no per-key accumulator (the 4-AggregateFn arg_max shape
+    measured 3.4x slower at sf0.1)."""
     ds = read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type", "value"])
-    out = ops.summarize(
-        ds,
-        aggs={
-            "ts": ("arg_max", ["ts", "ts", "event_id"]),
-            "event_id": ("arg_max", ["event_id", "ts", "event_id"]),
-            "event_type": ("arg_max", ["event_type", "ts", "event_id"]),
-            "value": ("arg_max", ["value", "ts", "event_id"]),
-        },
-        by="user_id",
-    )
+    out = ops.lww_latest(ds, key="user_id", order=["ts", "event_id"])
     out = ops.select(out, ["user_id", "ts", "event_id", "event_type", "value"])
     return _round_cols(out, ["value"], 2)
+
+
+def _q_argmax_order_price(sf_dir):
+    """``arg_max`` aggregate surface (summarize): highest-price order
+    key per priority class, ties broken by order key."""
+    ds = read_parquet(_t(sf_dir, "orders"), columns=["o_orderpriority", "o_orderkey", "o_totalprice"])
+    return ops.summarize(
+        ds,
+        aggs={"top_order": ("arg_max", ["o_orderkey", "o_totalprice", "o_orderkey"])},
+        by="o_orderpriority",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -775,6 +778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flatten_struct": _q_flatten,
         "parse_props": _q_parse_props,
         "lww_latest_event_per_user": _q_lww_latest_event,
+        "argmax_order_price": _q_argmax_order_price,
         "dedup_exact_docs": _q_dedup_exact,
         "token_count_docs": _q_token_count,
         "bpe_token_count_docs": _q_bpe_token_count,
@@ -1183,6 +1187,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, ts, event_id, event_type, {_sqlr('value')} AS value
             FROM events
             QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "argmax_order_price": """
+            SELECT o_orderpriority, o_orderkey AS top_order FROM orders
+            QUALIFY row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey DESC) = 1
         """,
         "dedup_exact_docs": """
             SELECT doc_id, text, n_chars FROM documents

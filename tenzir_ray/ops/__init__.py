@@ -30,5 +30,5 @@ from tenzir_ray.ops.transform import (  # noqa: F401
     unique,
     where,
 )
-from tenzir_ray.ops.summarize import AGGREGATE_FUNCTIONS, summarize  # noqa: F401
+from tenzir_ray.ops.summarize import AGGREGATE_FUNCTIONS, lww_latest, summarize  # noqa: F401
 from tenzir_ray.ops.sort import rare, sort, top  # noqa: F401

@@ -230,3 +230,48 @@ def test_arg_max_null_order_rows_skipped():
     from tenzir_ray import ops as _ops
     out = _ops.summarize(ray.data.from_arrow(t), aggs={"w": ("arg_max", ["v", "o"])}).take_all()
     assert out[0]["w"] == 1
+
+
+def test_lww_latest_winners_ties_and_nulls(ray_session):
+    """ops.lww_latest: full-row LWW per key across many blocks — greatest
+    (order...) tuple wins, later order columns break ties, null order
+    values lose to non-null, null keys group together."""
+    import numpy as np
+    import pandas as pd
+
+    from tenzir_ray.ops import lww_latest
+
+    n = 4000
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 37, n).astype("float64"),
+            "ts": rng.integers(0, 500, n),
+            "seq": np.arange(n),
+            "payload": rng.integers(0, 10**6, n),
+        }
+    )
+    df.loc[df.index % 113 == 0, "k"] = np.nan       # null keys
+    df["ts"] = df["ts"].astype("Int64")
+    df.loc[df.index % 97 == 0, "ts"] = pd.NA        # null order values
+    ds = ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)
+    ).repartition(17)
+    got = (
+        lww_latest(ds, key="k", order=["ts", "seq"])
+        .to_pandas()
+        .sort_values("k", na_position="first")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.sort_values(["ts", "seq"], na_position="first")
+        .groupby("k", dropna=False)
+        .tail(1)
+        .sort_values("k", na_position="first")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) == df["k"].nunique(dropna=False)
+    pd.testing.assert_frame_equal(
+        got[["k", "seq", "payload"]].astype({"seq": "int64"}),
+        exp[["k", "seq", "payload"]].astype({"seq": "int64"}),
+    )
