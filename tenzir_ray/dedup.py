@@ -644,17 +644,20 @@ def _verified_edges(
         .map_groups(_pair_uniq, batch_format="pyarrow"),
     )
 
-    # candidate-id set: ids only, broadcast once
+    # candidate-id set: ids only, per-block unique BEFORE the collect,
+    # one vectorized unique on the driver (never a python set — at 10x
+    # docs the raw pair stream carries 26M id instances)
     def _pair_ids(t: pa.Table) -> pa.Table:
         a = t["a"].combine_chunks() if isinstance(t["a"], pa.ChunkedArray) else t["a"]
         b = t["b"].combine_chunks() if isinstance(t["b"], pa.ChunkedArray) else t["b"]
-        return pa.table({id_col: pa.concat_arrays([a, b])})
+        return pa.table({id_col: pc.unique(pa.concat_arrays([a, b]))})
 
     cand_tbl = _collect_small(pairs.map_batches(_pair_ids, **_PYARROW))
     if cand_tbl is None:
         return set()
-    cand_set = set(cand_tbl[id_col].to_pylist())
-    cand_ref = ray.put(pc.unique(cand_tbl[id_col].combine_chunks()))
+    cand_arr = pc.unique(cand_tbl[id_col].combine_chunks())
+    n_cands = len(cand_arr)
+    cand_ref = ray.put(cand_arr)
 
     # task-side shingle extraction for candidate docs ONLY
     def extract_shingles(t: pa.Table) -> pa.Table:
@@ -665,7 +668,7 @@ def _verified_edges(
         return pa.table(
             {
                 id_col: sub[id_col],
-                "__sh": pa.array([s.tolist() for s in sh], type=sh_type),
+                "__sh": _sets_to_list_array(sh),
             }
         )
 
@@ -700,7 +703,7 @@ def _verified_edges(
     if verify_path == "broadcast" or (
         verify_path == "auto"
         and cand_sh.size_bytes() <= _BROADCAST_SHINGLE_BYTES
-        and len(cand_set) <= _BROADCAST_CAND_LIMIT
+        and n_cands <= _BROADCAST_CAND_LIMIT
     ):
         _t_csr = _time.perf_counter()
         sh_tbl = _collect_small(cand_sh)
@@ -971,36 +974,87 @@ _NGRAM_SHINGLE_BUCKETS = 4096
 _MAX_PREFIX_GROUP = 1024
 
 
+def _word_hashes_flat(docs: "List[List[str]]") -> "Tuple[np.ndarray, np.ndarray]":
+    """One uint64 hash per word over a batch of token lists, flat in
+    document order, plus the per-doc word counts — a splitmix64 chain
+    over each word's codepoints computed in max-word-length vectorized
+    passes (no per-word Python). Shared by the SimHash signature and
+    the word-n-gram shingle kernels."""
+    nw = np.array([len(d) for d in docs], dtype=np.int64)
+    total = int(nw.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), nw
+    enc = b"".join(w.encode("utf-32-le") for d in docs for w in d)
+    cp = np.frombuffer(enc, dtype=np.uint32).astype(np.uint64)
+    wlens = np.fromiter((len(w) for d in docs for w in d), dtype=np.int64, count=total)
+    wstarts = np.concatenate([[0], np.cumsum(wlens)[:-1]])
+    h = np.zeros(total, dtype=np.uint64)
+    scratch = np.empty(total, dtype=np.uint64)
+    order = np.argsort(wlens, kind="stable")  # group by remaining length
+    sorted_lens = wlens[order]
+    maxlen = int(sorted_lens[-1])
+    lo = 0
+    h_s = h[order]
+    starts_s = wstarts[order]
+    for j in range(maxlen):
+        lo += int(np.searchsorted(sorted_lens[lo:], j + 1))
+        act = slice(lo, total)
+        x = h_s[act]
+        np.bitwise_xor(x, cp[starts_s[act] + j], out=x)
+        _splitmix64_inplace(x, scratch[: total - lo])
+        h_s[act] = x
+    h[order] = h_s
+    return h, nw
+
+
+def _sets_to_list_array(sets: "List[np.ndarray]") -> pa.ListArray:
+    """Vectorized list<uint64> column from per-row numpy sets (replaces
+    per-row ``.tolist()`` materialization)."""
+    sizes = np.fromiter((len(s) for s in sets), np.int64, len(sets))
+    flat = np.concatenate(sets) if sets else np.empty(0, dtype=np.uint64)
+    if flat.dtype != np.uint64:
+        flat = flat.astype(np.uint64)
+    offsets = np.zeros(len(sets) + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offsets[1:])
+    return pa.LargeListArray.from_arrays(
+        pa.array(offsets, type=pa.int64()), pa.array(flat, type=pa.uint64())
+    ).cast(pa.list_(pa.uint64()))
+
+
+
 def _word_ngram_sets(texts: List[Optional[str]], n: int) -> List[np.ndarray]:
     """Per-document sorted-unique uint64 hashes of word n-grams.
 
     Words are ``[a-z0-9]+`` runs of the lowered text (reproducible in
     the DuckDB oracle via ``regexp_extract_all``); each n-gram hashes by
-    an n-step splitmix64 chain over per-word crc32s — the same
-    chain-of-mixes construction as :func:`_shingle_hashes`. Documents
+    an n-step splitmix64 chain over vectorized per-word splitmix
+    codepoint-chain hashes (:func:`_word_hashes_flat`, shared with
+    SimHash) — the same chain-of-mixes construction as
+    :func:`_shingle_hashes`. Documents
     shorter than ``n`` words contribute ONE shingle (the chain over all
     their words); empty documents contribute none."""
-    import zlib
-
+    docs = [_WORD_RE.findall(t.lower()) if t else [] for t in texts]
+    wh, nw = _word_hashes_flat(docs)
+    dbound = np.concatenate([[0], np.cumsum(nw)])
+    # ALL full windows of the batch chained at once (windows never span
+    # documents: starts come from per-doc counts)
+    cnt = np.where(nw >= n, nw - n + 1, 0).astype(np.int64)
+    ws = np.repeat(dbound[:-1], cnt) + _ranges(cnt)
+    acc = np.zeros(len(ws), dtype=np.uint64)
+    for j in range(n):
+        acc = _splitmix64(acc ^ wh[ws + j])
+    wb = np.concatenate([[0], np.cumsum(cnt)])
     out: List[np.ndarray] = []
-    crc = zlib.crc32
-    for t in texts:
-        words = _WORD_RE.findall(t.lower()) if t else []
-        if not words:
-            out.append(np.array([], dtype=np.uint64))
-            continue
-        wh = np.array([crc(w.encode()) for w in words], dtype=np.uint64)
-        if wh.size < n:
-            acc = np.zeros(1, dtype=np.uint64)
-            for j in range(wh.size):
-                acc = _splitmix64(acc ^ wh[j])
-            out.append(acc)
-            continue
-        win = np.lib.stride_tricks.sliding_window_view(wh, n)
-        acc = np.zeros(win.shape[0], dtype=np.uint64)
-        for j in range(n):
-            acc = _splitmix64(acc ^ win[:, j])
-        out.append(np.unique(acc))
+    for i in range(len(docs)):
+        if nw[i] == 0:
+            out.append(np.empty(0, dtype=np.uint64))
+        elif nw[i] < n:
+            a = np.zeros(1, dtype=np.uint64)
+            for j in range(int(nw[i])):
+                a = _splitmix64(a ^ wh[dbound[i] + j])
+            out.append(a)
+        else:
+            out.append(np.unique(acc[wb[i] : wb[i + 1]]))
     return out
 
 
@@ -1177,7 +1231,7 @@ def _ngram_kernel(text_col: str, n: int):
         def fn(batch: pa.Table) -> pa.Table:
             sets = _word_ngram_sets(batch[text_col].to_pylist(), n)
             return batch.append_column(
-                "__sh", pa.array([s.tolist() for s in sets], type=sh_type)
+                "__sh", _sets_to_list_array(sets)
             )
 
         _KERNEL_CACHE[key] = fn
@@ -1215,35 +1269,12 @@ class SimHasher:
 
     def _hashes_for_docs(self, docs: List[List[str]]) -> np.ndarray:
         """Vectorized: one uint64 simhash per doc (list of tokens)."""
-        n_words_per_doc = np.array([len(d) for d in docs], dtype=np.int64)
+        h, n_words_per_doc = _word_hashes_flat(docs)
         total = int(n_words_per_doc.sum())
         out = np.zeros(len(docs), dtype=np.uint64)
         if total == 0:
             return out
-        # one flat utf-32 buffer for every word in the batch
-        enc = b"".join(w.encode("utf-32-le") for d in docs for w in d)
-        cp = np.frombuffer(enc, dtype=np.uint32).astype(np.uint64)
-        wlens = np.fromiter(
-            (len(w) for d in docs for w in d), dtype=np.int64, count=total
-        )
-        wstarts = np.concatenate([[0], np.cumsum(wlens)[:-1]])
-        # chain splitmix64 over codepoints: pass j updates words len > j
-        h = np.zeros(total, dtype=np.uint64)
         scratch = np.empty(total, dtype=np.uint64)
-        order = np.argsort(wlens, kind="stable")  # group by remaining length
-        sorted_lens = wlens[order]
-        maxlen = int(sorted_lens[-1])
-        lo = 0
-        h_s = h[order]
-        starts_s = wstarts[order]
-        for j in range(maxlen):
-            lo += int(np.searchsorted(sorted_lens[lo:], j + 1))
-            act = slice(lo, total)
-            x = h_s[act]
-            np.bitwise_xor(x, cp[starts_s[act] + j], out=x)
-            _splitmix64_inplace(x, scratch[: total - lo])
-            h_s[act] = x
-        h[order] = h_s
         # per-doc bit votes: count of set bits per position via cumsum
         dbound = np.concatenate([[0], np.cumsum(n_words_per_doc)])
         half = n_words_per_doc.astype(np.int64)
