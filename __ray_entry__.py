@@ -628,6 +628,15 @@ def _q_hopping_counts(sf_dir):
     )
 
 
+def _q_tql_lww(sf_dir):
+    """TQL-driven full-row LWW (the `lww` verb -> ops.lww_latest)."""
+    from tenzir_ray import tql
+
+    ds = read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"])
+    out = tql.run("lww user_id order ts,event_id | select user_id, ts, event_id, value", ds)
+    return _round_cols(out, ["value"], 2)
+
+
 def _q_tql_sessionize_hot(sf_dir):
     """TQL-driven sessionize over the hot-key ordered-merge path
     (sessionize_sorted): distributed (key, ts) sort + per-block flags +
@@ -809,6 +818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_join_lineitem_orders": _q_shuffle_join,
         "hopping_counts": _q_hopping_counts,
         "tql_sessionize_hot": _q_tql_sessionize_hot,
+        "tql_lww_latest": _q_tql_lww,
         "tql_dedup_exact": _q_tql_dedup_exact,
         "tql_median_quantile": _q_tql_median_quantile,
     }
@@ -1271,6 +1281,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM events, (SELECT unnest(range(0, 4)) AS i) g
             GROUP BY 1, 2
+        """,
+        "tql_lww_latest": f"""
+            SELECT user_id, ts, event_id, {_sqlr('value')} AS value
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         """,
         "tql_sessionize_hot": """
             SELECT user_id, event_id,

@@ -237,22 +237,41 @@ def _compile_stage(stage: str) -> Callable[[Dataset], Dataset]:
             return asof_join(ds, pq.read_table(_p), on=_on, by=_by)
 
         return _aj
-    if op in ("dedup-exact", "dedup-minhash", "dedup-ngram", "dedup-simhash", "dedup-embedding"):
-        # dedup-* <value_col> <id_col>
-        parts = rest.split()
-        if len(parts) != 2:
-            raise ValueError(f"{op} wants: <value_col> <id_col>")
-        col, idc = parts
+    if op == "lww":
+        # lww <key[,key2...]> order <order1[,order2...]> — full-row
+        # last-writer-wins per key (ops.lww_latest)
+        m = re.match(r"(\S+)\s+order\s+(\S+)$", rest)
+        if not m:
+            raise ValueError("lww wants: <key[,key2]> order <col1[,col2]>")
+        keys = m.group(1).split(",")
+        orders = m.group(2).split(",")
 
-        def _dd(ds, _op=op, _c=col, _i=idc):
+        def _lww(ds, _k=keys, _o=orders):
+            from tenzir_ray.ops.summarize import lww_latest
+
+            return lww_latest(ds, _k, _o)
+
+        return _lww
+    if op in ("dedup-exact", "dedup-minhash", "dedup-ngram", "dedup-simhash", "dedup-embedding"):
+        # dedup-* <value_col> <id_col> [--exchange]: --exchange forces
+        # the beyond-broadcast verification path (minhash/ngram)
+        parts = rest.split()
+        exchange = "--exchange" in parts
+        parts = [p for p in parts if p != "--exchange"]
+        if len(parts) != 2:
+            raise ValueError(f"{op} wants: <value_col> <id_col> [--exchange]")
+        col, idc = parts
+        vp = "exchange" if exchange else "auto"
+
+        def _dd(ds, _op=op, _c=col, _i=idc, _vp=vp):
             from tenzir_ray import dedup as _d
 
             if _op == "dedup-exact":
                 return _d.dedup_exact(ds, _c, _i)
             if _op == "dedup-minhash":
-                return _d.dedup_minhash_lsh(ds, _c, _i, threshold=0.8)
+                return _d.dedup_minhash_lsh(ds, _c, _i, threshold=0.8, verify_path=_vp)
             if _op == "dedup-ngram":
-                return _d.dedup_ngram_jaccard(ds, _c, _i, threshold=0.6)
+                return _d.dedup_ngram_jaccard(ds, _c, _i, threshold=0.6, verify_path=_vp)
             if _op == "dedup-simhash":
                 return _d.dedup_simhash(ds, _c, _i, max_hamming=2)
             return _d.dedup_embedding(ds, _c, _i, threshold=0.999)
