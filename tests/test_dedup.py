@@ -108,6 +108,32 @@ def test_dedup_minhash_join_fallback(monkeypatch):
     assert sorted(fast["doc_id"]) == sorted(joined["doc_id"])
 
 
+def test_dedup_minhash_byte_gate_and_verify_path(monkeypatch):
+    """The broadcast gate is BYTE-bound too (one object-store replica
+    per node): forcing the byte ceiling to zero must route through the
+    exchange, and verify_path='exchange' must force it regardless of
+    size — all three giving identical results."""
+    fast = dedup.dedup_minhash_lsh(
+        docs_ds(), "text", "doc_id", num_perm=64, bands=16, threshold=0.5
+    ).to_pandas()
+    monkeypatch.setattr(dedup, "_BROADCAST_SHINGLE_BYTES", 0)
+    bytegated = dedup.dedup_minhash_lsh(
+        docs_ds(), "text", "doc_id", num_perm=64, bands=16, threshold=0.5
+    ).to_pandas()
+    monkeypatch.undo()
+    forced = dedup.dedup_minhash_lsh(
+        docs_ds(), "text", "doc_id", num_perm=64, bands=16, threshold=0.5,
+        verify_path="exchange",
+    ).to_pandas()
+    assert sorted(fast["doc_id"]) == sorted(bytegated["doc_id"]) == sorted(forced["doc_id"])
+    import pytest
+
+    with pytest.raises(ValueError, match="verify_path"):
+        dedup.dedup_minhash_lsh(
+            docs_ds(), "text", "doc_id", threshold=0.5, verify_path="bogus"
+        ).to_pandas()
+
+
 def test_hamming_index_pairs_matches_naive():
     # VERDICT r2: scale-adaptive simhash bucketing must stay EXACT.
     # Force the multi-index recursion with a tiny cap and compare to
