@@ -123,9 +123,11 @@ def test_serve_endpoint_waits_for_late_registration(serve_endpoint):
     def register_later():
         import time
 
-        time.sleep(0.4)
+        time.sleep(0.1)
         hub.register("late", ray.data.range(3))
 
     threading.Thread(target=register_later, daemon=True).start()
-    status, out = _post(port, {"serve_id": "late", "timeout": 3})
+    # Max server-side wait: under a loaded test session, Ray may take
+    # seconds to schedule the range() materialization.
+    status, out = _post(port, {"serve_id": "late", "timeout": 5})
     assert status == 200 and len(out["events"]) == 3
