@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from tenzir_ray import ann, dedup, ops, text
+from tenzir_ray import ann, curation, dedup, ops, text
 from tenzir_ray.sources import read_parquet
 
 _PYARROW = dict(batch_format="pyarrow", zero_copy_batch=True)
@@ -404,6 +404,53 @@ def _q_quality(sf_dir):
 def _q_lang_id(sf_dir):
     ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return ops.drop(text.lang_id(ds, concurrency=1), ["text"])
+
+
+def _docs_bench_split(sf_dir):
+    """Deterministic benchmark/corpus split of `documents` (doc_id % 23
+    picks the 'benchmark' side) shared by the decontamination query and
+    its oracle."""
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def mk(is_bench):
+        def f(t: pa.Table) -> pa.Table:
+            m = t["doc_id"].to_numpy(zero_copy_only=False) % 23 == 0
+            return t.filter(pa.array(m if is_bench else ~m))
+
+        return f
+
+    return (
+        ds.map_batches(mk(False), batch_format="pyarrow"),
+        ds.map_batches(mk(True), batch_format="pyarrow"),
+    )
+
+
+def _q_decontaminate(sf_dir):
+    corpus, bench = _docs_bench_split(sf_dir)
+    out = curation.decontaminate(corpus, bench, n=3, concurrency=2)
+    return out.select_columns(["doc_id", "contaminated", "n_hits"])
+
+
+def _q_repetition(sf_dir):
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ops.drop(curation.repetition_stats(ds), ["text"])
+    return _round_cols(
+        out, ["dup_word_frac", "top_word_frac", "dup_2gram_frac"], 6
+    )
+
+
+def _q_stratified_sample(sf_dir):
+    ds = read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type"]
+    )
+    return curation.stratified_sample(ds, "event_type", "event_id", k=50)
+
+
+def _q_sample_fraction(sf_dir):
+    ds = read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type"]
+    )
+    return curation.sample_fraction(ds, "event_id", 0.1)
 
 
 def _q_dedup_minhash(sf_dir):
@@ -794,6 +841,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": _q_fingerprint,
         "quality_docs": _q_quality,
         "lang_id_docs": _q_lang_id,
+        "decontaminate_docs": _q_decontaminate,
+        "repetition_docs": _q_repetition,
+        "stratified_sample_events": _q_stratified_sample,
+        "sample_fraction_events": _q_sample_fraction,
         "dedup_minhash_docs": _q_dedup_minhash,
         "dedup_minhash_docs_exchange": _q_dedup_minhash_exchange,
         "dedup_ngram_jaccard_docs": _q_dedup_ngram,
@@ -1067,6 +1118,78 @@ _LANG_ID_ORACLE = r"""
 
 
 # exact cosine top-10 for vec_id 0 — oracle for brute ANN and for both
+# benchmark decontamination: same word-3-gram semantics as
+# _NGRAM_ORACLE's sh CTE (lowered [a-z0-9]+ words, <3-word docs
+# contribute one whole-doc shingle); benchmark side = doc_id % 23 == 0
+_DECONTAMINATE_ORACLE = r"""
+    WITH wd AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS s
+      FROM (
+        SELECT doc_id, w,
+               CAST(unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS INT) AS i
+        FROM wd WHERE len(w) >= 1
+      )
+    ),
+    b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 23 = 0),
+    hits AS (
+      SELECT sh.doc_id, count(*) AS n_hits
+      FROM sh JOIN b ON sh.s = b.s WHERE sh.doc_id % 23 != 0 GROUP BY 1
+    )
+    SELECT d.doc_id, coalesce(h.n_hits, 0) > 0 AS contaminated,
+           coalesce(h.n_hits, 0) AS n_hits
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 23 != 0
+"""
+
+# within-document repetition signals over the same word definition
+_REPETITION_ORACLE = f"""
+    WITH w AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(words) AS t FROM w),
+    ts AS (SELECT doc_id, count(*) AS nw, count(DISTINCT t) AS ndw
+           FROM tok GROUP BY 1),
+    topw AS (SELECT doc_id, max(c) AS topc
+             FROM (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2)
+             GROUP BY 1),
+    bi AS (
+      SELECT doc_id, array_to_string(list_slice(words, i, i + 1), ' ') AS b
+      FROM (SELECT doc_id, words, CAST(unnest(range(1, len(words))) AS INT) AS i
+            FROM w WHERE len(words) >= 2)
+    ),
+    bs AS (SELECT doc_id, count(*) AS nb, count(DISTINCT b) AS ndb
+           FROM bi GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(ts.nw, 0) AS n_words,
+           {_sqlr('CAST(ts.nw - ts.ndw AS DOUBLE) / ts.nw', 6)} AS dup_word_frac,
+           {_sqlr('CAST(topw.topc AS DOUBLE) / ts.nw', 6)} AS top_word_frac,
+           {_sqlr('CAST(bs.nb - bs.ndb AS DOUBLE) / bs.nb', 6)} AS dup_2gram_frac
+    FROM documents d LEFT JOIN ts ON d.doc_id = ts.doc_id
+    LEFT JOIN topw ON d.doc_id = topw.doc_id
+    LEFT JOIN bs ON d.doc_id = bs.doc_id
+"""
+
+# deterministic sampling rank shared with curation._sample_rank —
+# exact BIGINT arithmetic, reproducible on both sides
+_STRATIFIED_ORACLE = """
+    SELECT event_id, user_id, event_type FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY event_type
+      ORDER BY (event_id * 2654435761) % 1000000007, event_id) <= 50
+"""
+
+_SAMPLE_FRACTION_ORACLE = """
+    SELECT event_id, user_id, event_type FROM events
+    WHERE (event_id * 2654435761) % 1000000007
+          < CAST(floor(0.1 * 1000000007) AS BIGINT)
+"""
+
+
 # IVF variants (which are exact when nprobe == n_lists)
 _ANN_EXACT_SQL = f"""
     WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
@@ -1303,6 +1426,10 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
         """,
         "lang_id_docs": _LANG_ID_ORACLE,
+        "decontaminate_docs": _DECONTAMINATE_ORACLE,
+        "repetition_docs": _REPETITION_ORACLE,
+        "stratified_sample_events": _STRATIFIED_ORACLE,
+        "sample_fraction_events": _SAMPLE_FRACTION_ORACLE,
         "dedup_minhash_docs": _MINHASH_ORACLE,
         "dedup_minhash_docs_exchange": _MINHASH_ORACLE,
         "dedup_ngram_jaccard_docs": _NGRAM_ORACLE,

@@ -1,0 +1,323 @@
+"""Training-data curation operators: benchmark decontamination,
+within-document repetition statistics, and deterministic sampling
+(stratified top-k per stratum and fractional).
+
+These are first-class large-scale-pipeline operators (not in the
+reference's operator set — they extend it the way ``text.py`` and
+``dedup.py`` do, per SURVEY.md §2's training-data addendum):
+
+- :func:`decontaminate` flags corpus documents that share any word
+  n-gram with a *benchmark* set (the standard eval-set leakage filter
+  used before LLM training runs). The benchmark side is small by
+  nature (eval suites are thousands of items even for 100-TB corpora),
+  so its shingle-hash universe is computed cluster-side, unioned on the
+  driver, and broadcast ONCE via ``ray.put``; the corpus side is one
+  embarrassingly-parallel ``map_batches`` pass — no shuffle at any
+  corpus size.
+- :func:`repetition_stats` computes MassiveText-style repetition
+  signals (duplicate-word fraction, top-word fraction, duplicate-2-gram
+  fraction) per document with fully vectorized numpy kernels over the
+  shared word-hash chain (:func:`tenzir_ray.dedup._word_hashes_flat`)
+  — no shuffle, no per-row Python.
+- :func:`stratified_sample` takes a deterministic k-smallest-rank
+  sample per stratum: rank = ``(id * 2654435761) % 1000000007`` (a
+  Knuth multiplicative hash kept inside exact int64/ANSI-BIGINT range
+  so the DuckDB oracle reproduces it bit-for-bit). Each block prunes to
+  its local per-stratum top-k FIRST, so at most ``k × strata × blocks``
+  rows enter the one small shuffle — corpus bytes never move.
+- :func:`sample_fraction` is the shuffle-free variant: keep rows whose
+  rank falls below ``frac`` of the modulus. Pure filter; resharding-
+  stable (membership depends only on the id, not on partitioning).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+
+from tenzir_ray.dedup import (
+    _WORD_RE,
+    _splitmix64,
+    _word_hashes_flat,
+    _word_ngram_sets,
+)
+from tenzir_ray.arrowutil import ranges
+
+_PYARROW = dict(batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+# Knuth multiplicative-hash sampling rank: exact in int64 (ids up to
+# ~3.4e9 stay under 2^63 after the multiply) and in ANSI-SQL BIGINT,
+# so engine and oracle agree bit-for-bit.
+_SAMPLE_MULT = 2654435761
+_SAMPLE_MOD = 1_000_000_007
+
+# Loud ceiling for the broadcast benchmark shingle universe (~128M
+# shingles = 1 GiB of uint64). Real benchmark suites are orders of
+# magnitude below this; crossing it means the "benchmark" side is
+# actually a corpus and needs the dedup-style exchange instead.
+_MAX_BENCH_SHINGLES = 128_000_000
+
+
+def _sample_rank(ids: np.ndarray) -> np.ndarray:
+    return (ids.astype(np.int64) * _SAMPLE_MULT) % _SAMPLE_MOD
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def benchmark_ngram_set(
+    bench: Dataset, text_col: str = "text", n: int = 3
+) -> "ray.ObjectRef":
+    """Union of the benchmark set's word-n-gram hashes, computed
+    cluster-side (one vectorized pass per block, per-block unique) and
+    broadcast once via ``ray.put``.
+
+    The driver holds only the deduplicated uint64 universe — bounded by
+    the benchmark's distinct-shingle count, which is small by contract
+    (loud error past ``_MAX_BENCH_SHINGLES``)."""
+
+    def per_block(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        sets = _word_ngram_sets(texts, n)
+        u = (
+            np.unique(np.concatenate(sets))
+            if sets
+            else np.empty(0, dtype=np.uint64)
+        )
+        return pa.table({"sh": pa.array(u, type=pa.uint64())})
+
+    parts = [
+        b["sh"].to_numpy(zero_copy_only=False)
+        for b in bench.map_batches(per_block, **_PYARROW).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ]
+    universe = (
+        np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.uint64)
+    )
+    if len(universe) > _MAX_BENCH_SHINGLES:
+        raise ValueError(
+            f"benchmark n-gram universe has {len(universe)} distinct shingles "
+            f"(> {_MAX_BENCH_SHINGLES}); this side is corpus-sized — use the "
+            "dedup exchange path (dedup.dedup_ngram_jaccard) instead of "
+            "broadcast decontamination"
+        )
+    return ray.put(universe)  # sorted by np.unique
+
+
+class _Decontaminator:
+    """Actor-pool stage: fetch the broadcast benchmark shingle universe
+    once per actor, then flag each corpus document by vectorized
+    ``searchsorted`` membership of its n-gram hashes."""
+
+    def __init__(self, bench_ref, text_col: str, n: int):
+        self.bench = ray.get(bench_ref)
+        self.text_col = text_col
+        self.n = n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t[self.text_col].to_pylist()
+        sets = _word_ngram_sets(texts, self.n)
+        counts = np.fromiter((len(s) for s in sets), np.int64, len(sets))
+        flat = (
+            np.concatenate(sets) if sets else np.empty(0, dtype=np.uint64)
+        )
+        if len(self.bench):
+            pos = np.searchsorted(self.bench, flat)
+            pos[pos == len(self.bench)] = 0
+            hit = self.bench[pos] == flat
+        else:
+            hit = np.zeros(len(flat), dtype=bool)
+        # per-doc distinct overlapping shingles (sets are already
+        # per-doc unique, so a segment sum of hits is the distinct count)
+        bounds = np.concatenate([[0], np.cumsum(counts)])
+        n_hits = np.add.reduceat(
+            np.concatenate([hit.astype(np.int64), [0]]), bounds[:-1]
+        )
+        n_hits[counts == 0] = 0
+        return t.append_column(
+            "n_hits", pa.array(n_hits, type=pa.int64())
+        ).append_column("contaminated", pa.array(n_hits > 0))
+
+
+def decontaminate(
+    ds: Dataset,
+    bench: Dataset,
+    text_col: str = "text",
+    n: int = 3,
+    concurrency: int = 4,
+) -> Dataset:
+    """Flag corpus rows sharing any word n-gram with ``bench``.
+
+    Adds ``contaminated`` (bool) and ``n_hits`` (int64 distinct
+    overlapping n-grams). Filter with ``ops.where`` to drop. Word and
+    n-gram semantics match :func:`tenzir_ray.dedup._word_ngram_sets`
+    (lowered ``[a-z0-9]+`` words; docs shorter than ``n`` words
+    contribute one whole-doc shingle; empty docs none) so the DuckDB
+    oracle reproduces them string-wise."""
+    ref = benchmark_ngram_set(bench, text_col, n)
+    return ds.map_batches(
+        _Decontaminator,
+        fn_constructor_args=(ref, text_col, n),
+        concurrency=concurrency,
+        **_PYARROW,
+    )
+
+
+# ---------------------------------------------------------------------------
+# within-document repetition statistics
+# ---------------------------------------------------------------------------
+
+
+def _segment_distinct_top(
+    h: np.ndarray, counts: np.ndarray
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Per-segment (distinct count, max run count) over flat hash array
+    ``h`` segmented by ``counts`` — one lexsort, no per-doc Python."""
+    ndocs = len(counts)
+    distinct = np.zeros(ndocs, dtype=np.int64)
+    top = np.zeros(ndocs, dtype=np.int64)
+    if len(h) == 0:
+        return distinct, top
+    doc_idx = np.repeat(np.arange(ndocs), counts)
+    order = np.lexsort((h, doc_idx))
+    dv, hv = doc_idx[order], h[order]
+    newrun = np.empty(len(hv), dtype=bool)
+    newrun[0] = True
+    np.logical_or(dv[1:] != dv[:-1], hv[1:] != hv[:-1], out=newrun[1:])
+    run_starts = np.flatnonzero(newrun)
+    run_len = np.diff(np.append(run_starts, len(hv)))
+    run_doc = dv[run_starts]
+    distinct = np.bincount(run_doc, minlength=ndocs)
+    present, first = np.unique(run_doc, return_index=True)
+    top[present] = np.maximum.reduceat(run_len, first)
+    return distinct.astype(np.int64), top
+
+
+def _repetition_table(texts: List[Optional[str]]) -> "dict[str, pa.Array]":
+    docs = [_WORD_RE.findall(t.lower()) if t else [] for t in texts]
+    wh, nw = _word_hashes_flat(docs)
+    ndocs = len(docs)
+    # distinct words + top word count per doc
+    dw, topw = _segment_distinct_top(wh, nw)
+    # all 2-gram hashes (duplicates KEPT — unlike _word_ngram_sets)
+    n2 = np.maximum(nw - 1, 0)
+    dbound = np.concatenate([[0], np.cumsum(nw)])
+    ws = np.repeat(dbound[:-1], n2) + ranges(n2)
+    acc = np.zeros(len(ws), dtype=np.uint64)
+    for j in range(2):
+        acc = _splitmix64(acc ^ wh[ws + j])
+    d2, _ = _segment_distinct_top(acc, n2)
+    nwf = nw.astype(np.float64)
+    n2f = n2.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dup_w = np.where(nw > 0, (nwf - dw) / nwf, np.nan)
+        top_w = np.where(nw > 0, topw / nwf, np.nan)
+        dup_2 = np.where(n2 > 0, (n2f - d2) / n2f, np.nan)
+    def col(v, valid):
+        return pa.array(v, type=pa.float64(), mask=~valid)
+    return {
+        "n_words": pa.array(nw, type=pa.int64()),
+        "dup_word_frac": col(dup_w, nw > 0),
+        "top_word_frac": col(top_w, nw > 0),
+        "dup_2gram_frac": col(dup_2, n2 > 0),
+    }
+
+
+def repetition_stats(ds: Dataset, text_col: str = "text") -> Dataset:
+    """Per-document repetition signals (the MassiveText quality-filter
+    family): ``n_words``, ``dup_word_frac`` (1 - distinct/total words),
+    ``top_word_frac`` (most frequent word's share), ``dup_2gram_frac``
+    (1 - distinct/total word 2-grams). NULL where the denominator is
+    zero. Words are lowered ``[a-z0-9]+`` runs; duplicate detection is
+    over 64-bit splitmix hashes (collision odds are negligible and the
+    driver's oracle gate would surface one).
+
+    Shuffle-free: one vectorized ``map_batches`` pass."""
+
+    def apply(t: pa.Table) -> pa.Table:
+        cols = _repetition_table(t[text_col].to_pylist())
+        for name, arr in cols.items():
+            t = t.append_column(name, arr)
+        return t
+
+    return ds.map_batches(apply, **_PYARROW)
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def sample_fraction(ds: Dataset, id_col: str, frac: float) -> Dataset:
+    """Deterministic ~``frac`` sample: keep rows with
+    ``(id * 2654435761) % 1000000007 < frac * 1000000007``. Pure
+    filter — no shuffle, membership independent of partitioning, and
+    exactly reproducible in ANSI SQL."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"frac must be in [0, 1], got {frac}")
+    cut = int(frac * _SAMPLE_MOD)
+
+    def apply(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(_sample_rank(ids) < cut))
+
+    return ds.map_batches(apply, **_PYARROW)
+
+
+def stratified_sample(
+    ds: Dataset, strata_col: str, id_col: str, k: int
+) -> Dataset:
+    """Deterministic k rows per stratum: the k smallest
+    ``(rank, id)`` pairs, rank = Knuth hash of the id (ties impossible
+    since ids are unique within a stratum).
+
+    Scale shape: each block first prunes to its LOCAL per-stratum
+    top-k (vectorized lexsort + per-group cumcount), so at most
+    ``k × strata × blocks`` rows — not corpus rows — enter the single
+    small ``groupby(strata).map_groups`` that picks global winners."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def prune(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        rank = _sample_rank(ids)
+        arr = t[strata_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = (
+                arr.combine_chunks()
+                if arr.num_chunks != 1
+                else arr.chunk(0)
+            )
+        if isinstance(arr, pa.ChunkedArray):  # older pyarrow combine
+            arr = arr.chunk(0) if arr.num_chunks else pa.array([], type=arr.type)
+        g = pc.dictionary_encode(arr).indices.to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, rank, g))
+        gs = g[order]
+        first_new = np.empty(len(gs), dtype=bool)
+        if len(gs):
+            first_new[0] = True
+            np.not_equal(gs[1:], gs[:-1], out=first_new[1:])
+        pos = np.arange(len(gs)) - np.maximum.accumulate(
+            np.where(first_new, np.arange(len(gs)), 0)
+        )
+        keep = np.zeros(len(gs), dtype=bool)
+        keep[order[pos < k]] = True
+        return t.filter(pa.array(keep))
+
+    def winners(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, _sample_rank(ids)))
+        return t.take(pa.array(order[:k]))
+
+    pruned = ds.map_batches(prune, **_PYARROW)
+    return pruned.groupby(strata_col).map_groups(
+        winners, batch_format="pyarrow"
+    )

@@ -323,6 +323,60 @@ def _compile_stage(stage: str) -> Callable[[Dataset], Dataset]:
             return lookup_join(ds, pq.read_table(_p), keys=_k, right_keys=_rk or _k)
 
         return _lj
+    if op == "decontaminate":
+        # decontaminate <bench_parquet> [text_col] [n] — flag rows whose
+        # word n-grams overlap the benchmark set (broadcast, no shuffle)
+        parts = rest.split()
+        if not 1 <= len(parts) <= 3:
+            raise ValueError("decontaminate wants: <bench_parquet> [text_col] [n]")
+        path = parts[0]
+        tcol = parts[1] if len(parts) > 1 else "text"
+        n = int(parts[2]) if len(parts) > 2 else 3
+
+        def _dc(ds, _p=path, _c=tcol, _n=n):
+            import ray.data
+
+            from tenzir_ray.curation import decontaminate
+
+            return decontaminate(ds, ray.data.read_parquet(_p), text_col=_c, n=_n)
+
+        return _dc
+    if op == "repetition":
+        # repetition [text_col] — per-document repetition signals
+        tcol = rest.strip() or "text"
+
+        def _rep(ds, _c=tcol):
+            from tenzir_ray.curation import repetition_stats
+
+            return repetition_stats(ds, _c)
+
+        return _rep
+    if op == "sample":
+        # sample <frac> <id_col> — deterministic fractional sample, or
+        # sample <k> per <strata_col> by <id_col> — stratified top-k
+        m = re.match(r"(\d+)\s+per\s+(\S+)\s+by\s+(\S+)$", rest)
+        if m:
+            k, strata, idc = int(m.group(1)), m.group(2), m.group(3)
+
+            def _ss(ds, _s=strata, _i=idc, _k=k):
+                from tenzir_ray.curation import stratified_sample
+
+                return stratified_sample(ds, _s, _i, _k)
+
+            return _ss
+        parts = rest.split()
+        if len(parts) != 2:
+            raise ValueError(
+                "sample wants: <frac> <id_col> | <k> per <strata_col> by <id_col>"
+            )
+        frac, idc = float(parts[0]), parts[1]
+
+        def _sf(ds, _i=idc, _f=frac):
+            from tenzir_ray.curation import sample_fraction
+
+            return sample_fraction(ds, _i, _f)
+
+        return _sf
     # user-registered operators (registry.register_operator) get the raw
     # argument string — the operator_parser_plugin analog
     from tenzir_ray import registry

@@ -1,0 +1,178 @@
+"""Curation operators: decontamination, repetition stats, sampling."""
+
+import collections
+import re
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from tenzir_ray import curation
+
+_W = re.compile(r"[a-z0-9]+")
+
+
+def _docs(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+
+
+def test_decontaminate_flags_overlap():
+    bench = _docs(["alpha beta gamma delta"], ids=[100])
+    corpus = _docs(
+        [
+            "zzz alpha beta gamma yyy",  # shares 3-gram "alpha beta gamma"
+            "completely unrelated words here",
+            "",  # empty: never contaminated
+            "alpha beta",  # <3 words, whole-doc shingle != any bench shingle
+        ]
+    )
+    out = (
+        curation.decontaminate(corpus, bench, n=3, concurrency=1)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["contaminated"].tolist() == [True, False, False, False]
+    assert out["n_hits"].tolist() == [1, 0, 0, 0]
+
+
+def test_decontaminate_short_doc_whole_shingle():
+    # a <n-word benchmark doc contributes ONE whole-doc shingle; an
+    # identical short corpus doc matches it
+    bench = _docs(["foo bar"], ids=[7])
+    corpus = _docs(["foo bar", "foo baz"])
+    out = (
+        curation.decontaminate(corpus, bench, n=3, concurrency=1)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["contaminated"].tolist() == [True, False]
+
+
+def test_decontaminate_bench_universe_guard(monkeypatch):
+    monkeypatch.setattr(curation, "_MAX_BENCH_SHINGLES", 2)
+    bench = _docs(["a b c d e f g h i j"])
+    with pytest.raises(ValueError, match="corpus-sized"):
+        curation.benchmark_ngram_set(bench)
+
+
+def test_repetition_stats_matches_bruteforce():
+    texts = [
+        "the cat the cat sat",
+        "a b c",
+        "",
+        None,
+        "x x x x",
+        "one",
+        "w1 w2 w1 w2 w1",
+    ]
+    out = (
+        curation.repetition_stats(_docs(texts))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, txt in enumerate(texts):
+        ws = _W.findall(txt.lower()) if txt else []
+        nw = len(ws)
+        assert out.loc[i, "n_words"] == nw
+        if nw:
+            c = collections.Counter(ws)
+            assert out.loc[i, "dup_word_frac"] == pytest.approx((nw - len(c)) / nw)
+            assert out.loc[i, "top_word_frac"] == pytest.approx(
+                max(c.values()) / nw
+            )
+        else:
+            assert np.isnan(out.loc[i, "dup_word_frac"])
+        bi = [tuple(ws[j : j + 2]) for j in range(nw - 1)]
+        if bi:
+            c2 = collections.Counter(bi)
+            assert out.loc[i, "dup_2gram_frac"] == pytest.approx(
+                (len(bi) - len(c2)) / len(bi)
+            )
+        else:
+            assert np.isnan(out.loc[i, "dup_2gram_frac"])
+
+
+def _events(n=500):
+    rng = np.random.default_rng(3)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "event_type": rng.choice(["a", "b", "c"], size=n).tolist(),
+            }
+        )
+    )
+
+
+def test_stratified_sample_exact_winners():
+    ds = _events()
+    out = (
+        curation.stratified_sample(ds, "event_type", "event_id", k=10)
+        .to_pandas()
+        .sort_values(["event_type", "event_id"])
+    )
+    full = ds.to_pandas()
+    full["rank"] = (full["event_id"] * 2654435761) % 1000000007
+    for g, grp in full.groupby("event_type"):
+        want = set(
+            grp.sort_values(["rank", "event_id"]).head(10)["event_id"]
+        )
+        got = set(out[out["event_type"] == g]["event_id"])
+        assert got == want, g
+    assert len(out) == 30
+
+
+def test_stratified_sample_partition_invariant():
+    ds = _events()
+    a = curation.stratified_sample(
+        ds.repartition(1), "event_type", "event_id", k=5
+    ).to_pandas()
+    b = curation.stratified_sample(
+        ds.repartition(7), "event_type", "event_id", k=5
+    ).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["event_type", "event_id"]].values))
+    assert key(a) == key(b)
+
+
+def test_sample_fraction_deterministic_and_reshard_stable():
+    ds = _events()
+    a = curation.sample_fraction(ds, "event_id", 0.2).to_pandas()
+    b = curation.sample_fraction(ds.repartition(7), "event_id", 0.2).to_pandas()
+    assert sorted(a["event_id"]) == sorted(b["event_id"])
+    # membership formula exact
+    keep = (a["event_id"] * 2654435761) % 1000000007
+    assert (keep < int(0.2 * 1000000007)).all()
+    # roughly the asked fraction
+    assert 0.1 < len(a) / 500 < 0.3
+
+
+def test_sample_fraction_validates():
+    with pytest.raises(ValueError):
+        curation.sample_fraction(_events(), "event_id", 1.5)
+    with pytest.raises(ValueError):
+        curation.stratified_sample(_events(), "event_type", "event_id", k=0)
+
+
+def test_tql_curation_verbs(tmp_path):
+    from tenzir_ray import tql
+
+    bench = pa.table({"doc_id": [9], "text": ["alpha beta gamma delta"]})
+    import pyarrow.parquet as pq
+
+    bp = str(tmp_path / "bench.parquet")
+    pq.write_table(bench, bp)
+    ds = _docs(["alpha beta gamma zzz", "unrelated text entirely"])
+    out = tql.run(f"decontaminate {bp} text 3", ds).to_pandas().sort_values("doc_id")
+    assert out["contaminated"].tolist() == [True, False]
+
+    rep = tql.run("repetition", _docs(["x x x", "a b"])).to_pandas().sort_values("doc_id")
+    assert rep["dup_word_frac"].tolist() == pytest.approx([2 / 3, 0.0])
+
+    ev = _events(100)
+    frac = tql.run("sample 0.5 event_id", ev).to_pandas()
+    assert 20 < len(frac) < 80
+    strat = tql.run("sample 4 per event_type by event_id", ev).to_pandas()
+    assert len(strat) == 12
