@@ -130,6 +130,8 @@ def run_queries() -> dict:
         "dedup_minhash_docs",
         "dedup_ngram_jaccard_docs",
         "ann_brute_top10",
+        "decontaminate_docs",
+        "repetition_docs",
     ]
     def load1() -> float:
         try:
