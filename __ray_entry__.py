@@ -650,6 +650,28 @@ def _q_tumbling_counts(sf_dir):
     return tumbling_count(ds, key="user_id", ts_col="ts", width="1h", out_col="n")
 
 
+def _q_semi_join(sf_dir):
+    """Distributed left-semi join: customers with at least one order
+    (both sides hash-shuffled; semi emits each left row once no matter
+    how many matches)."""
+    from tenzir_ray.ops.join import shuffle_join
+
+    left = read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_mktsegment"])
+    right = read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+    return shuffle_join(left, right, keys="c_custkey", right_keys="o_custkey", how="left semi")
+
+
+def _q_anti_join(sf_dir):
+    """Distributed left-anti join: customers with NO urgent orders —
+    the blocklist/decontaminate-by-id shape at big-big scale."""
+    from tenzir_ray.ops.join import shuffle_join
+
+    left = read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_mktsegment"])
+    right = read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"])
+    right = ops.where(right, "o_orderpriority == '1-URGENT'")
+    return shuffle_join(left, right, keys="c_custkey", right_keys="o_custkey", how="left anti")
+
+
 def _q_shuffle_join(sf_dir):
     """Big-big co-partitioned hash join (both sides hash-shuffled;
     no broadcast): lineitem x orders on the order key."""
@@ -867,6 +889,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": _q_sessionize,
         "tumbling_counts": _q_tumbling_counts,
         "shuffle_join_lineitem_orders": _q_shuffle_join,
+        "semi_join_customers_orders": _q_semi_join,
+        "anti_join_customers_orders": _q_anti_join,
         "hopping_counts": _q_hopping_counts,
         "tql_sessionize_hot": _q_tql_sessionize_hot,
         "tql_lww_latest": _q_tql_lww,
@@ -1391,6 +1415,16 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_counts": """
             SELECT user_id, date_trunc('hour', ts) AS ts, count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "semi_join_customers_orders": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "anti_join_customers_orders": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
         """,
         "shuffle_join_lineitem_orders": f"""
             SELECT l_orderkey, l_linenumber, o_orderpriority,
