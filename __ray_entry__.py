@@ -816,6 +816,24 @@ def _q_cef_roundtrip(sf_dir):
     return ops.select(parsed, ["signature_id", "name", "severity"])
 
 
+def _q_redact(sf_dir):
+    """PII scrub: synthesize a deterministic PII-bearing note per event
+    (email + IPv4 + phone derived from user_id — the oracle builds the
+    identical string in SQL), redact it vectorized."""
+    ds = read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id"])
+
+    def add_note(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        notes = [
+            f"reach u{x}@example.com at 10.0.{x // 256}.{x % 256}"
+            f" or 555-{x % 900 + 100}-{x % 9000 + 1000}"
+            for x in u
+        ]
+        return t.append_column("note", pa.array(notes, type=pa.string()))
+
+    return text.redact(ds.map_batches(add_note, **_PYARROW), "note")
+
+
 def _q_pseudonymize(sf_dir):
     from tenzir_ray.ops.anonymize import pseudonymize
 
@@ -890,6 +908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_counts": _q_tumbling_counts,
         "shuffle_join_lineitem_orders": _q_shuffle_join,
         "semi_join_customers_orders": _q_semi_join,
+        "redact_events": _q_redact,
         "anti_join_customers_orders": _q_anti_join,
         "hopping_counts": _q_hopping_counts,
         "tql_sessionize_hot": _q_tql_sessionize_hot,
@@ -1415,6 +1434,26 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_counts": """
             SELECT user_id, date_trunc('hour', ts) AS ts, count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "redact_events": r"""
+            WITH n AS (
+              SELECT event_id, user_id,
+                     'reach u' || user_id || '@example.com at 10.0.' ||
+                     (user_id // 256) || '.' || (user_id % 256) ||
+                     ' or 555-' || (user_id % 900 + 100) || '-' ||
+                     (user_id % 9000 + 1000) AS note
+              FROM events
+            )
+            SELECT event_id, user_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(note,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                     '\+?\d{1,2}[- ]?\d{3}[- ]\d{3}[- ]\d{4}|\b\d{3}[- ]\d{3}[- ]\d{4}\b',
+                     '<PHONE>', 'g') AS note
+            FROM n
         """,
         "semi_join_customers_orders": """
             SELECT c_custkey, c_name, c_mktsegment FROM customer c

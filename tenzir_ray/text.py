@@ -146,3 +146,44 @@ def fingerprint(ds: Dataset, text_col: str = "text", out_col: str = "fingerprint
         return t.append_column(out_col, pa.array(out, type=pa.string()))
 
     return ds.map_batches(apply, **_PYARROW)
+
+
+# PII redaction patterns, applied IN ORDER (email first so an
+# address's host part is not half-eaten by the IP rule). RE2 syntax —
+# identical semantics in pyarrow (replace_substring_regex) and DuckDB
+# (regexp_replace(..., 'g')), verified by the redact_events oracle.
+REDACT_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d{1,2}[- ]?\d{3}[- ]\d{3}[- ]\d{4}|\b\d{3}[- ]\d{3}[- ]\d{4}\b",
+     "<PHONE>"),
+)
+
+
+def redact(
+    ds: Dataset,
+    cols,
+    patterns=REDACT_PATTERNS,
+) -> Dataset:
+    """Replace PII-shaped substrings (emails, IPv4s, phone numbers by
+    default) with placeholder tokens — the training-data scrub
+    companion to the reference's `pseudonymize`
+    (`builtins/operators/pseudonymize.cpp`), which keeps referential
+    integrity where this destroys it.
+
+    Vectorized: each (pattern, replacement) is one C-backed RE2 pass
+    (``pc.replace_substring_regex``) per batch; no shuffle, no Python
+    rows."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+
+    def apply(t: pa.Table) -> pa.Table:
+        for c in cols:
+            arr = t[c]
+            for pat, repl in patterns:
+                arr = pc.replace_substring_regex(
+                    arr, pattern=pat, replacement=repl
+                )
+            t = t.set_column(t.column_names.index(c), c, arr)
+        return t
+
+    return ds.map_batches(apply, **_PYARROW)

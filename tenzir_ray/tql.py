@@ -341,6 +341,18 @@ def _compile_stage(stage: str) -> Callable[[Dataset], Dataset]:
             return decontaminate(ds, ray.data.read_parquet(_p), text_col=_c, n=_n)
 
         return _dc
+    if op == "redact":
+        # redact <col[,col2...]> — PII scrub (emails/IPs/phones)
+        cols = _split_commas(rest) if rest.strip() else None
+        if not cols:
+            raise ValueError("redact wants: <col[,col2...]>")
+
+        def _red(ds, _c=cols):
+            from tenzir_ray.text import redact
+
+            return redact(ds, _c)
+
+        return _red
     if op == "repetition":
         # repetition [text_col] — per-document repetition signals
         tcol = rest.strip() or "text"

@@ -176,3 +176,28 @@ def test_tql_curation_verbs(tmp_path):
     assert 20 < len(frac) < 80
     strat = tql.run("sample 4 per event_type by event_id", ev).to_pandas()
     assert len(strat) == 12
+
+
+def test_redact_pii():
+    from tenzir_ray import text, tql
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": [0, 1, 2],
+                "note": [
+                    "mail bob.smith+x@corp.io or 10.1.2.3",
+                    "call +1 555-123-4567; backup 555 987 6543",
+                    "nothing to scrub",
+                ],
+            }
+        )
+    )
+    out = text.redact(ds, "note").to_pandas().sort_values("id")
+    assert out["note"].tolist() == [
+        "mail <EMAIL> or <IP>",
+        "call <PHONE>; backup <PHONE>",
+        "nothing to scrub",
+    ]
+    out2 = tql.run("redact note", ds).to_pandas().sort_values("id")
+    assert out2["note"].tolist() == out["note"].tolist()
