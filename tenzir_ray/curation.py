@@ -112,27 +112,25 @@ def benchmark_ngram_set(
     return ray.put(universe)  # sorted by np.unique
 
 
-class _Decontaminator:
-    """Actor-pool stage: fetch the broadcast benchmark shingle universe
-    once per actor, then flag each corpus document by vectorized
-    ``searchsorted`` membership of its n-gram hashes."""
+def _decontaminate_fn(bench_ref, text_col: str, n: int):
+    """Per-batch kernel with the benchmark universe closure-captured as
+    an ObjectRef: ``ray.get`` inside the task is a zero-copy local
+    plasma read after the first fetch per node (the brief's broadcast
+    pattern), and a plain task pool avoids Ray's actor-restart warning
+    about ObjectRefs in actor constructor args."""
 
-    def __init__(self, bench_ref, text_col: str, n: int):
-        self.bench = ray.get(bench_ref)
-        self.text_col = text_col
-        self.n = n
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t[self.text_col].to_pylist()
-        sets = _word_ngram_sets(texts, self.n)
+    def apply(t: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        texts = t[text_col].to_pylist()
+        sets = _word_ngram_sets(texts, n)
         counts = np.fromiter((len(s) for s in sets), np.int64, len(sets))
         flat = (
             np.concatenate(sets) if sets else np.empty(0, dtype=np.uint64)
         )
-        if len(self.bench):
-            pos = np.searchsorted(self.bench, flat)
-            pos[pos == len(self.bench)] = 0
-            hit = self.bench[pos] == flat
+        if len(bench):
+            pos = np.searchsorted(bench, flat)
+            pos[pos == len(bench)] = 0
+            hit = bench[pos] == flat
         else:
             hit = np.zeros(len(flat), dtype=bool)
         # per-doc distinct overlapping shingles (sets are already
@@ -146,13 +144,15 @@ class _Decontaminator:
             "n_hits", pa.array(n_hits, type=pa.int64())
         ).append_column("contaminated", pa.array(n_hits > 0))
 
+    return apply
+
 
 def decontaminate(
     ds: Dataset,
     bench: Dataset,
     text_col: str = "text",
     n: int = 3,
-    concurrency: int = 4,
+    concurrency=None,
 ) -> Dataset:
     """Flag corpus rows sharing any word n-gram with ``bench``.
 
@@ -163,11 +163,9 @@ def decontaminate(
     contribute one whole-doc shingle; empty docs none) so the DuckDB
     oracle reproduces them string-wise."""
     ref = benchmark_ngram_set(bench, text_col, n)
+    kwargs = {} if concurrency is None else {"concurrency": concurrency}
     return ds.map_batches(
-        _Decontaminator,
-        fn_constructor_args=(ref, text_col, n),
-        concurrency=concurrency,
-        **_PYARROW,
+        _decontaminate_fn(ref, text_col, n), **kwargs, **_PYARROW
     )
 
 
