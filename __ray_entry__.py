@@ -816,6 +816,15 @@ def _q_cef_roundtrip(sf_dir):
     return ops.select(parsed, ["signature_id", "name", "severity"])
 
 
+def _q_explode(sf_dir):
+    """Unnest the embedding list column to (vec_id, value) rows —
+    SQL unnest parity."""
+    ds = read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = ops.explode(ds, "embedding")
+    out = ops.rename(out, {"value": "embedding"})
+    return _round_cols(out, ["value"], 6)
+
+
 def _q_redact(sf_dir):
     """PII scrub: synthesize a deterministic PII-bearing note per event
     (email + IPv4 + phone derived from user_id — the oracle builds the
@@ -909,6 +918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_join_lineitem_orders": _q_shuffle_join,
         "semi_join_customers_orders": _q_semi_join,
         "redact_events": _q_redact,
+        "explode_embeddings": _q_explode,
         "anti_join_customers_orders": _q_anti_join,
         "hopping_counts": _q_hopping_counts,
         "tql_sessionize_hot": _q_tql_sessionize_hot,
@@ -1434,6 +1444,11 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_counts": """
             SELECT user_id, date_trunc('hour', ts) AS ts, count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "explode_embeddings": f"""
+            SELECT vec_id,
+                   {_sqlr('unnest(embedding)::DOUBLE', 6)} AS value
+            FROM embeddings
         """,
         "redact_events": r"""
             WITH n AS (

@@ -13,6 +13,7 @@ from tenzir_ray.ops.transform import (  # noqa: F401
     discard,
     drop,
     enumerate_op,
+    explode,
     extend,
     flatten,
     hash_op,

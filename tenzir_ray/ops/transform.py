@@ -240,6 +240,40 @@ def unflatten(ds: Dataset, sep: str = ".") -> Dataset:
     return ds.map_batches(lambda t: _unflatten_table(t, sep), **_PYARROW)
 
 
+def explode(ds: Dataset, col: str, pos_col: str = None) -> Dataset:
+    """Unnest a list column: one output row per list element, scalar
+    columns repeated (SQL ``unnest``; no reference analog — the
+    reference has no list-to-rows operator, SURVEY §2.5 negative
+    space). Rows with NULL or empty lists are dropped, matching SQL
+    unnest. Optional ``pos_col`` adds the 0-based element index.
+
+    Fully vectorized and shuffle-free: ``pc.list_parent_indices`` +
+    ``take`` per batch — a pure width-to-length reshape that streams."""
+
+    def apply(t: pa.Table) -> pa.Table:
+        arr = t[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        parents = pc.list_parent_indices(arr)
+        flat = pc.list_flatten(arr)
+        out = t.drop_columns([col]).take(parents)
+        out = out.append_column(col, flat)
+        if pos_col is not None:
+            import numpy as np
+
+            p = parents.to_numpy(zero_copy_only=False)
+            first = np.concatenate([[True], p[1:] != p[:-1]])
+            starts = np.maximum.accumulate(
+                np.where(first, np.arange(len(p)), 0)
+            )
+            out = out.append_column(
+                pos_col, pa.array(np.arange(len(p)) - starts, type=pa.int64())
+            )
+        return out
+
+    return ds.map_batches(apply, **_PYARROW)
+
+
 # ---------------------------------------------------------------------------
 # head / tail / taste / limit family
 # ---------------------------------------------------------------------------

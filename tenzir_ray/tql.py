@@ -341,6 +341,18 @@ def _compile_stage(stage: str) -> Callable[[Dataset], Dataset]:
             return decontaminate(ds, ray.data.read_parquet(_p), text_col=_c, n=_n)
 
         return _dc
+    if op == "explode":
+        # explode <list_col> [pos_col] — unnest a list column to rows
+        parts = rest.split()
+        if not 1 <= len(parts) <= 2:
+            raise ValueError("explode wants: <list_col> [pos_col]")
+
+        def _ex(ds, _c=parts[0], _p=parts[1] if len(parts) > 1 else None):
+            from tenzir_ray.ops.transform import explode
+
+            return explode(ds, _c, pos_col=_p)
+
+        return _ex
     if op == "redact":
         # redact <col[,col2...]> — PII scrub (emails/IPs/phones)
         cols = _split_commas(rest) if rest.strip() else None

@@ -349,3 +349,30 @@ def test_sessionize_sorted_matches_groupby_on_skew(ray_session):
     )
     assert a["session_id"].tolist() == b["session_id"].tolist()
     assert a["session_id"].max() > 3  # the hot key really has many sessions
+
+
+def test_explode_list_column():
+    import pyarrow as pa
+    import ray.data
+
+    from tenzir_ray import ops
+
+    t = pa.table(
+        {
+            "id": [1, 2, 3, 4],
+            "xs": [[10, 20], [], None, [30]],
+        }
+    )
+    out = (
+        ops.explode(ray.data.from_arrow(t), "xs", pos_col="pos")
+        .to_pandas()
+        .sort_values(["id", "pos"])
+    )
+    assert out["id"].tolist() == [1, 1, 4]
+    assert out["xs"].tolist() == [10, 20, 30]
+    assert out["pos"].tolist() == [0, 1, 0]
+
+    from tenzir_ray import tql
+
+    out2 = tql.run("explode xs", ray.data.from_arrow(t)).to_pandas()
+    assert sorted(out2["xs"].tolist()) == [10, 20, 30]
