@@ -825,6 +825,15 @@ def _q_explode(sf_dir):
     return _round_cols(out, ["value"], 6)
 
 
+def _q_pack_sequences(sf_dir):
+    """LLM-pretraining sequence packing: whitespace-token counts →
+    contiguous 512-token bins in doc_id order (distributed sort +
+    per-block-scalar prefix scan)."""
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    counted = ops.drop(text.token_count(ds), ["text"])
+    return curation.pack_sequences(counted, "n_tokens", budget=512, order_col="doc_id")
+
+
 def _q_redact(sf_dir):
     """PII scrub: synthesize a deterministic PII-bearing note per event
     (email + IPv4 + phone derived from user_id — the oracle builds the
@@ -919,6 +928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_customers_orders": _q_semi_join,
         "redact_events": _q_redact,
         "explode_embeddings": _q_explode,
+        "pack_sequences_docs": _q_pack_sequences,
         "anti_join_customers_orders": _q_anti_join,
         "hopping_counts": _q_hopping_counts,
         "tql_sessionize_hot": _q_tql_sessionize_hot,
@@ -1444,6 +1454,19 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_counts": """
             SELECT user_id, date_trunc('hour', ts) AS ts, count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "pack_sequences_docs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\S+')) AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   // 512 AS bin_id
+            FROM t
         """,
         "explode_embeddings": f"""
             SELECT vec_id,

@@ -319,3 +319,77 @@ def stratified_sample(
     return pruned.groupby(strata_col).map_groups(
         winners, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (LLM-pretraining bin assignment)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    ds: Dataset,
+    token_col: str,
+    budget: int,
+    order_col: str,
+    out_col: str = "bin_id",
+) -> Dataset:
+    """Assign each document to a training-sequence bin of ~``budget``
+    tokens by contiguous fill in ``order_col`` order:
+    ``bin_id = (exclusive running sum of token_col) // budget`` — the
+    deterministic streaming-fill packing used to build fixed-length
+    pretraining batches. A document that straddles a boundary belongs
+    to the bin where it starts (bins overflow by at most one doc).
+
+    Distributed as a classic two-pass scan (no driver-side rows):
+
+    1. one distributed range-partition sort by ``order_col``;
+    2. a tiny per-block task reduces each block to ONE scalar (its
+       token sum); the driver prefix-sums the per-block scalars —
+       bytes on the driver = O(blocks), never rows;
+    3. each block assigns bins from its offset + an in-block exclusive
+       cumsum, in parallel.
+
+    The same shape (sort → per-block scalar metadata → driver prefix →
+    parallel assign) as :func:`tenzir_ray.ops.window.sessionize_sorted`.
+    Token counts must be non-negative integers (compose with
+    ``text.token_count`` / ``text.bpe_token_count``)."""
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+
+    sorted_ds = ds.sort(order_col)
+    # per-plan context copy: flipping preserve_order affects only this
+    # lineage (the sessionize_sorted precedent)
+    lineage_ctx = sorted_ds.context
+    prev_order = lineage_ctx.execution_options.preserve_order
+    lineage_ctx.execution_options.preserve_order = True
+    try:
+        mat = sorted_ds.materialize()
+        refs = mat.to_arrow_refs()
+    finally:
+        lineage_ctx.execution_options.preserve_order = prev_order
+
+    @ray.remote(num_cpus=0.25)
+    def _block_sum(t: pa.Table) -> int:
+        if t.num_rows == 0:
+            return 0
+        return int(
+            np.sum(t[token_col].to_numpy(zero_copy_only=False).astype(np.int64))
+        )
+
+    sums = ray.get([_block_sum.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]]).astype(np.int64)
+
+    @ray.remote
+    def _assign(t: pa.Table, off: int) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], type=pa.int64()))
+        n = t[token_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        excl = off + np.cumsum(n) - n
+        return t.append_column(
+            out_col, pa.array(excl // budget, type=pa.int64())
+        ).replace_schema_metadata(None)
+
+    out_refs = [_assign.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    import ray.data as _rd
+
+    return _rd.from_arrow_refs(out_refs)

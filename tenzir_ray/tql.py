@@ -353,6 +353,18 @@ def _compile_stage(stage: str) -> Callable[[Dataset], Dataset]:
             return explode(ds, _c, pos_col=_p)
 
         return _ex
+    if op == "pack":
+        # pack <token_col> <budget> by <order_col> — sequence packing
+        m = re.match(r"(\S+)\s+(\d+)\s+by\s+(\S+)$", rest)
+        if not m:
+            raise ValueError("pack wants: <token_col> <budget> by <order_col>")
+
+        def _pk(ds, _t=m.group(1), _b=int(m.group(2)), _o=m.group(3)):
+            from tenzir_ray.curation import pack_sequences
+
+            return pack_sequences(ds, _t, budget=_b, order_col=_o)
+
+        return _pk
     if op == "redact":
         # redact <col[,col2...]> — PII scrub (emails/IPs/phones)
         cols = _split_commas(rest) if rest.strip() else None

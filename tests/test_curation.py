@@ -201,3 +201,40 @@ def test_redact_pii():
     ]
     out2 = tql.run("redact note", ds).to_pandas().sort_values("id")
     assert out2["note"].tolist() == out["note"].tolist()
+
+
+def test_pack_sequences_contiguous_fill():
+    n = 200
+    rng = np.random.default_rng(11)
+    toks = rng.integers(1, 50, size=n).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": np.arange(n, dtype=np.int64), "n_tokens": toks})
+    ).repartition(5)
+    out = (
+        curation.pack_sequences(ds, "n_tokens", budget=100, order_col="doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    excl = np.concatenate([[0], np.cumsum(toks)[:-1]])
+    assert out["bin_id"].tolist() == (excl // 100).tolist()
+    # each bin's docs are contiguous in order and start below the boundary
+    sizes = out.groupby("bin_id")["n_tokens"].sum()
+    # every bin except possibly the last holds >= budget - max_doc + 1 tokens
+    assert (sizes.iloc[:-1] >= 100 - 49).all()
+
+
+def test_pack_sequences_validates():
+    ds = ray.data.from_arrow(pa.table({"doc_id": [1], "n_tokens": [5]}))
+    with pytest.raises(ValueError):
+        curation.pack_sequences(ds, "n_tokens", budget=0, order_col="doc_id")
+
+
+def test_tql_pack_verb():
+    from tenzir_ray import tql
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": [1, 2, 3], "n_tokens": [60, 60, 60]})
+    )
+    out = tql.run("pack n_tokens 100 by doc_id", ds).to_pandas().sort_values("doc_id")
+    assert out["bin_id"].tolist() == [0, 0, 1]
