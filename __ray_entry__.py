@@ -825,6 +825,15 @@ def _q_explode(sf_dir):
     return _round_cols(out, ["value"], 6)
 
 
+def _q_weighted_sample(sf_dir):
+    """Training-mixture composition: deterministic per-language
+    sampling rates over documents."""
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang", "source"])
+    return curation.weighted_sample(
+        ds, "lang", "doc_id", {"en": 0.8, "de": 0.4}, default_frac=0.1
+    )
+
+
 def _q_pack_sequences(sf_dir):
     """LLM-pretraining sequence packing: whitespace-token counts →
     contiguous 512-token bins in doc_id order (distributed sort +
@@ -929,6 +938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_events": _q_redact,
         "explode_embeddings": _q_explode,
         "pack_sequences_docs": _q_pack_sequences,
+        "weighted_sample_docs": _q_weighted_sample,
         "anti_join_customers_orders": _q_anti_join,
         "hopping_counts": _q_hopping_counts,
         "tql_sessionize_hot": _q_tql_sessionize_hot,
@@ -1454,6 +1464,13 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_counts": """
             SELECT user_id, date_trunc('hour', ts) AS ts, count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "weighted_sample_docs": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE (doc_id * 2654435761) % 1000000007 <
+                  CAST(floor(CASE lang WHEN 'en' THEN 0.8
+                                       WHEN 'de' THEN 0.4
+                                       ELSE 0.1 END * 1000000007) AS BIGINT)
         """,
         "pack_sequences_docs": r"""
             WITH t AS (

@@ -393,3 +393,32 @@ def pack_sequences(
     import ray.data as _rd
 
     return _rd.from_arrow_refs(out_refs)
+
+
+def weighted_sample(
+    ds: Dataset,
+    strata_col: str,
+    id_col: str,
+    fracs: "dict[str, float]",
+    default_frac: float = 0.0,
+) -> Dataset:
+    """Training-mixture composition: keep each row with a per-stratum
+    deterministic probability (``fracs[stratum]``, else
+    ``default_frac``) using the same Knuth-hash rank as
+    :func:`sample_fraction` — shuffle-free, reshard-stable, exactly
+    reproducible in SQL with a CASE expression."""
+    for k, f in list(fracs.items()) + [("default", default_frac)]:
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"frac for {k!r} must be in [0, 1], got {f}")
+    cuts = {k: int(f * _SAMPLE_MOD) for k, f in fracs.items()}
+    default_cut = int(default_frac * _SAMPLE_MOD)
+
+    def apply(t: pa.Table) -> pa.Table:
+        rank = _sample_rank(t[id_col].to_numpy(zero_copy_only=False))
+        strata = t[strata_col].to_pylist()
+        cut = np.fromiter(
+            (cuts.get(s, default_cut) for s in strata), np.int64, len(strata)
+        )
+        return t.filter(pa.array(rank < cut))
+
+    return ds.map_batches(apply, **_PYARROW)

@@ -238,3 +238,27 @@ def test_tql_pack_verb():
     )
     out = tql.run("pack n_tokens 100 by doc_id", ds).to_pandas().sort_values("doc_id")
     assert out["bin_id"].tolist() == [0, 0, 1]
+
+
+def test_weighted_sample_per_stratum():
+    n = 1000
+    rng = np.random.default_rng(5)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": np.arange(n, dtype=np.int64),
+                "g": rng.choice(["hot", "cold"], size=n).tolist(),
+            }
+        )
+    )
+    out = curation.weighted_sample(ds, "g", "id", {"hot": 0.9}, default_frac=0.05).to_pandas()
+    rates = out.groupby("g").size() / pa.table({"g": ds.to_pandas().g}).to_pandas().groupby("g").size()
+    assert rates["hot"] > 0.8
+    assert rates.get("cold", 0) < 0.15
+    # reshard-stable
+    out2 = curation.weighted_sample(
+        ds.repartition(9), "g", "id", {"hot": 0.9}, default_frac=0.05
+    ).to_pandas()
+    assert sorted(out.id) == sorted(out2.id)
+    with pytest.raises(ValueError):
+        curation.weighted_sample(ds, "g", "id", {"hot": 2.0})
