@@ -825,6 +825,29 @@ def _q_explode(sf_dir):
     return _round_cols(out, ["value"], 6)
 
 
+def _q_curate(sf_dir):
+    """End-to-end training-data curation flagship: quality gate →
+    decontaminate → exact dedup → language mixture → sequence packing,
+    all in one streaming composition (oracle = the same chain in SQL)."""
+    _, bench = _docs_bench_split(sf_dir)
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+
+    def corpus_only(t: pa.Table) -> pa.Table:
+        m = t["doc_id"].to_numpy(zero_copy_only=False) % 23 != 0
+        return t.filter(pa.array(m))
+
+    corpus = ds.map_batches(corpus_only, batch_format="pyarrow")
+    return curation.curate(
+        corpus,
+        bench,
+        max_dup_word_frac=0.6,
+        min_words=5,
+        lang_fracs={"en": 0.9},
+        default_frac=0.5,
+        pack_budget=512,
+    )
+
+
 def _q_weighted_sample(sf_dir):
     """Training-mixture composition: deterministic per-language
     sampling rates over documents."""
@@ -939,6 +962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explode_embeddings": _q_explode,
         "pack_sequences_docs": _q_pack_sequences,
         "weighted_sample_docs": _q_weighted_sample,
+        "curate_docs": _q_curate,
         "anti_join_customers_orders": _q_anti_join,
         "hopping_counts": _q_hopping_counts,
         "tql_sessionize_hot": _q_tql_sessionize_hot,
@@ -1464,6 +1488,64 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_counts": """
             SELECT user_id, date_trunc('hour', ts) AS ts, count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "curate_docs": r"""
+            WITH w AS (
+              SELECT doc_id, text, lang,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+              FROM documents WHERE doc_id % 23 != 0
+            ),
+            tok AS (SELECT doc_id, unnest(words) AS t FROM w),
+            ts AS (SELECT doc_id, count(*) AS nw, count(DISTINCT t) AS ndw
+                   FROM tok GROUP BY 1),
+            gated AS (
+              SELECT w.doc_id, w.text, w.lang, ts.nw AS n_words
+              FROM w JOIN ts ON w.doc_id = ts.doc_id
+              WHERE ts.nw >= 5
+                AND CAST(ts.nw - ts.ndw AS DOUBLE) / ts.nw <= 0.6
+            ),
+            allw AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(words, i, i + 2), ' ') AS s
+              FROM (
+                SELECT doc_id, words,
+                       CAST(unnest(range(1, greatest(len(words) - 2, 1) + 1)) AS INT) AS i
+                FROM allw WHERE len(words) >= 1
+              )
+            ),
+            b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 23 = 0),
+            clean AS (
+              SELECT g.* FROM gated g
+              WHERE NOT EXISTS (
+                SELECT 1 FROM sh JOIN b ON sh.s = b.s WHERE sh.doc_id = g.doc_id
+              )
+            ),
+            dd AS (
+              SELECT * FROM clean
+              QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+            ),
+            sampled AS (
+              SELECT * FROM dd
+              WHERE (doc_id * 2654435761) % 1000000007 <
+                    CAST(floor(CASE lang WHEN 'en' THEN 0.9
+                                         ELSE 0.5 END * 1000000007) AS BIGINT)
+            ),
+            counted AS (
+              SELECT doc_id, lang, n_words,
+                     len(regexp_extract_all(text, '\S+')) AS n_tokens
+              FROM sampled
+            )
+            SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   // 512 AS bin_id
+            FROM counted
         """,
         "weighted_sample_docs": """
             SELECT doc_id, lang, source FROM documents

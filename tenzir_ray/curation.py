@@ -422,3 +422,78 @@ def weighted_sample(
         return t.filter(pa.array(rank < cut))
 
     return ds.map_batches(apply, **_PYARROW)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation pipeline
+# ---------------------------------------------------------------------------
+
+
+def curate(
+    ds: Dataset,
+    bench: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    max_dup_word_frac: float = 0.6,
+    min_words: int = 5,
+    lang_fracs: "Optional[dict[str, float]]" = None,
+    default_frac: float = 1.0,
+    pack_budget: int = 512,
+) -> Dataset:
+    """The full training-data preparation chain, each stage an
+    already-verified operator, composed the streaming way (every stage
+    is a batch transform; the only shuffles are exact-dedup's bucketed
+    groupby and packing's sort):
+
+    1. repetition/quality gate: drop docs with
+       ``dup_word_frac > max_dup_word_frac`` or fewer than
+       ``min_words`` words;
+    2. benchmark decontamination: drop docs sharing any word 3-gram
+       with ``bench``;
+    3. exact dedup on the text (min-id winner);
+    4. per-language mixture sampling (``lang_fracs``);
+    5. whitespace token counts → contiguous-fill packing into
+       ``pack_budget``-token bins.
+
+    Returns (id, lang, n_words, n_tokens, bin_id)-shaped rows ready to
+    group into training sequences."""
+    from tenzir_ray import text as _text
+    from tenzir_ray.dedup import dedup_exact
+
+    ds = repetition_stats(ds, text_col)
+
+    def gate(t: pa.Table) -> pa.Table:
+        nw = t["n_words"].to_numpy(zero_copy_only=False)
+        dup = np.nan_to_num(
+            t["dup_word_frac"].to_numpy(zero_copy_only=False), nan=1.0
+        )
+        return t.filter(pa.array((nw >= min_words) & (dup <= max_dup_word_frac)))
+
+    ds = ds.map_batches(gate, **_PYARROW)
+    ds = decontaminate(ds, bench, text_col, n=3)
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.invert(t["contaminated"].combine_chunks())),
+        **_PYARROW,
+    )
+    keep = dedup_exact(ds, text_col, id_col)
+    if lang_fracs:
+        keep = weighted_sample(keep, lang_col, id_col, lang_fracs, default_frac)
+    counted = _text.token_count(keep, text_col)
+    packed = pack_sequences(counted, "n_tokens", pack_budget, order_col=id_col)
+    drop_cols = [
+        c
+        for c in (
+            text_col,
+            "dup_word_frac",
+            "top_word_frac",
+            "dup_2gram_frac",
+            "n_hits",
+            "contaminated",
+        )
+    ]
+
+    def strip(t: pa.Table) -> pa.Table:
+        return t.drop_columns([c for c in drop_cols if c in t.column_names])
+
+    return packed.map_batches(strip, **_PYARROW)

@@ -262,3 +262,31 @@ def test_weighted_sample_per_stratum():
     assert sorted(out.id) == sorted(out2.id)
     with pytest.raises(ValueError):
         curation.weighted_sample(ds, "g", "id", {"hot": 2.0})
+
+
+def test_curate_end_to_end():
+    bench = _docs(["alpha beta gamma delta epsilon"], ids=[1000])
+    corpus = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3, 4, 5, 6],
+                "text": [
+                    "one two three four five six seven",      # clean, kept
+                    "alpha beta gamma other words here too",   # contaminated
+                    "spam spam spam spam spam spam",           # repetitive
+                    "one two three four five six seven",       # exact dup of 1
+                    "short doc",                               # < 5 words
+                    "eight nine ten eleven twelve thirteen",   # clean, kept
+                ],
+                "lang": ["en"] * 6,
+            }
+        )
+    )
+    out = (
+        curation.curate(corpus, bench, lang_fracs={"en": 1.0})
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["doc_id"].tolist() == [1, 6]
+    assert set(out.columns) == {"doc_id", "lang", "n_words", "n_tokens", "bin_id"}
+    assert out["bin_id"].tolist() == [0, 0]
