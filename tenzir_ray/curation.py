@@ -415,9 +415,24 @@ def weighted_sample(
 
     def apply(t: pa.Table) -> pa.Table:
         rank = _sample_rank(t[id_col].to_numpy(zero_copy_only=False))
-        strata = t[strata_col].to_pylist()
-        cut = np.fromiter(
-            (cuts.get(s, default_cut) for s in strata), np.int64, len(strata)
+        # vectorized per-stratum cut: python-map only the DISTINCT
+        # strata (dictionary encode), then one gather
+        arr = t[strata_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):  # older pyarrow combine
+            arr = arr.chunk(0) if arr.num_chunks else pa.array([], type=arr.type)
+        enc = pc.dictionary_encode(arr)
+        uniq_cuts = np.fromiter(
+            (cuts.get(s, default_cut) for s in enc.dictionary.to_pylist()),
+            np.int64,
+            len(enc.dictionary),
+        )
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        cut = (
+            uniq_cuts[idx]
+            if len(uniq_cuts)
+            else np.empty(0, dtype=np.int64)
         )
         return t.filter(pa.array(rank < cut))
 
