@@ -428,11 +428,13 @@ def weighted_sample(
             np.int64,
             len(enc.dictionary),
         )
-        idx = enc.indices.to_numpy(zero_copy_only=False)
-        cut = (
-            uniq_cuts[idx]
-            if len(uniq_cuts)
-            else np.empty(0, dtype=np.int64)
+        # null strata -> null indices; treat them as default_frac
+        idx = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False)
+        idx = idx.astype(np.int64)
+        cut = np.where(
+            idx >= 0,
+            uniq_cuts[idx] if len(uniq_cuts) else default_cut,
+            default_cut,
         )
         return t.filter(pa.array(rank < cut))
 

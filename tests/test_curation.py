@@ -290,3 +290,18 @@ def test_curate_end_to_end():
     assert out["doc_id"].tolist() == [1, 6]
     assert set(out.columns) == {"doc_id", "lang", "n_words", "n_tokens", "bin_id"}
     assert out["bin_id"].tolist() == [0, 0]
+
+
+def test_weighted_sample_null_stratum_uses_default():
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": np.arange(100, dtype=np.int64),
+                "g": [None] * 100,
+            }
+        )
+    )
+    out = curation.weighted_sample(ds, "g", "id", {"hot": 0.0}, default_frac=1.0)
+    assert out.count() == 100
+    out0 = curation.weighted_sample(ds, "g", "id", {"hot": 1.0}, default_frac=0.0)
+    assert out0.count() == 0
