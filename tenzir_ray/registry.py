@@ -57,7 +57,9 @@ def _builtin_inventory() -> Dict[str, list]:
                 "summarize", "sort", "top", "rare", "sigma", "pseudonymize",
                 "compress", "decompress", "serve", "decapsulate", "shell",
                 "lookup_join", "asof_join", "shuffle_join", "sessionize", "tumbling", "hopping",
-                "dedup-exact", "dedup-minhash", "dedup-simhash", "dedup-embedding",
+                "dedup-exact", "dedup-minhash", "dedup-ngram", "dedup-simhash", "dedup-embedding",
+                "range-join", "lookup-join", "shuffle-join", "lww", "explode",
+                "decontaminate", "repetition", "redact", "sample", "pack",
             ]
             + sorted(OPERATORS)
         ),
@@ -70,10 +72,12 @@ def _builtin_inventory() -> Dict[str, list]:
         ],
         "pipelines": ["cdc replay (binlog -> lww merge -> lake)", "compaction/rebucket"],
         "training_data_ops": [
-            "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
-            "knn_brute", "knn_ivf", "lang_id", "quality_score", "token_count",
-            "bpe_token_count", "fingerprint", "decode_images", "resize_images",
-            "audio_features",
+            "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+            "dedup_embedding", "knn_brute", "knn_ivf", "lang_id", "quality_score",
+            "token_count", "bpe_token_count", "fingerprint", "decode_images",
+            "resize_images", "audio_features", "decontaminate", "repetition_stats",
+            "stratified_sample", "sample_fraction", "weighted_sample", "redact",
+            "pack_sequences", "curate",
         ],
         "version": [tenzir_ray.__version__],
     }
