@@ -132,6 +132,7 @@ def run_queries() -> dict:
         "ann_brute_top10",
         "decontaminate_docs",
         "repetition_docs",
+        "curate_docs",
     ]
     def load1() -> float:
         try:
