@@ -28,6 +28,15 @@ reference's operator set — they extend it the way ``text.py`` and
 - :func:`sample_fraction` is the shuffle-free variant: keep rows whose
   rank falls below ``frac`` of the modulus. Pure filter; resharding-
   stable (membership depends only on the id, not on partitioning).
+- :func:`weighted_sample` generalizes it to per-stratum rates
+  (training-mixture composition) with a dictionary-encoded cut gather.
+- :func:`pack_sequences` assigns contiguous-fill token bins
+  (pretraining sequence packing) via one distributed sort plus a
+  per-block-scalar prefix scan — the driver holds O(blocks) scalars.
+- :func:`curate` composes quality gate → decontaminate → exact dedup →
+  mixture → packing into the end-to-end streaming pipeline, each stage
+  individually oracle-verified and the whole chain oracle-checked as
+  one SQL CTE pipeline (``curate_docs``).
 """
 
 from __future__ import annotations
