@@ -305,3 +305,27 @@ def test_weighted_sample_null_stratum_uses_default():
     assert out.count() == 100
     out0 = curation.weighted_sample(ds, "g", "id", {"hot": 1.0}, default_frac=0.0)
     assert out0.count() == 0
+
+
+def test_pack_sequences_with_empty_blocks():
+    # a filter that empties some blocks must not break the block scan
+    n = 100
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "n_tokens": np.full(n, 10, dtype=np.int64),
+            }
+        )
+    ).repartition(10)
+    ds = ds.map_batches(
+        lambda t: t.filter(pa.array(t["doc_id"].to_numpy() < 25)),
+        batch_format="pyarrow",
+    )
+    out = (
+        curation.pack_sequences(ds, "n_tokens", budget=100, order_col="doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert len(out) == 25
+    assert out["bin_id"].tolist() == [i * 10 // 100 for i in range(25)]
