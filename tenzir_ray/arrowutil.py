@@ -74,3 +74,15 @@ def ranges(counts: np.ndarray) -> np.ndarray:
     total = int(counts.sum())
     out_starts = np.cumsum(counts) - counts  # output offset of each segment
     return np.arange(total, dtype=np.int64) - np.repeat(out_starts, counts)
+
+
+def as_array(arr) -> "pa.Array":
+    """Normalize a Table column (ChunkedArray across pyarrow versions)
+    to ONE contiguous Array — shared by explode and the sampling ops."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks() if arr.num_chunks != 1 else arr.chunk(0)
+    if isinstance(arr, pa.ChunkedArray):  # older pyarrow: combine returns chunked
+        arr = arr.chunk(0) if arr.num_chunks else pa.array([], type=arr.type)
+    return arr

@@ -55,7 +55,7 @@ from tenzir_ray.dedup import (
     _word_hashes_flat,
     _word_ngram_sets,
 )
-from tenzir_ray.arrowutil import ranges
+from tenzir_ray.arrowutil import as_array, ranges
 
 _PYARROW = dict(batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
@@ -72,8 +72,22 @@ _SAMPLE_MOD = 1_000_000_007
 _MAX_BENCH_SHINGLES = 128_000_000
 
 
+# ids above this wrap int64 in the multiply, silently diverging from
+# ANSI-BIGINT arithmetic (DuckDB raises instead) — fail loudly first
+_MAX_SAMPLE_ID = (2**63 - 1) // _SAMPLE_MULT
+
+
 def _sample_rank(ids: np.ndarray) -> np.ndarray:
-    return (ids.astype(np.int64) * _SAMPLE_MULT) % _SAMPLE_MOD
+    ids = ids.astype(np.int64)
+    if len(ids) and (
+        int(ids.max()) > _MAX_SAMPLE_ID or int(ids.min()) < 0
+    ):
+        raise ValueError(
+            f"sampling ids must be in [0, {_MAX_SAMPLE_ID}] for exact "
+            "BIGINT-parity with the SQL oracle (the Knuth multiply would "
+            "wrap int64); re-key or hash ids into range first"
+        )
+    return (ids * _SAMPLE_MULT) % _SAMPLE_MOD
 
 
 # ---------------------------------------------------------------------------
@@ -102,23 +116,22 @@ def benchmark_ngram_set(
         )
         return pa.table({"sh": pa.array(u, type=pa.uint64())})
 
-    parts = [
-        b["sh"].to_numpy(zero_copy_only=False)
-        for b in bench.map_batches(per_block, **_PYARROW).iter_batches(
-            batch_format="pyarrow", batch_size=None
-        )
-    ]
-    universe = (
-        np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.uint64)
-    )
-    if len(universe) > _MAX_BENCH_SHINGLES:
-        raise ValueError(
-            f"benchmark n-gram universe has {len(universe)} distinct shingles "
-            f"(> {_MAX_BENCH_SHINGLES}); this side is corpus-sized — use the "
-            "dedup exchange path (dedup.dedup_ngram_jaccard) instead of "
-            "broadcast decontamination"
-        )
-    return ray.put(universe)  # sorted by np.unique
+    # fold the union incrementally so the driver's peak is
+    # universe + ONE block (not the sum of all per-block uniques)
+    universe = np.empty(0, dtype=np.uint64)
+    for b in bench.map_batches(per_block, **_PYARROW).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        part = b["sh"].to_numpy(zero_copy_only=False)
+        universe = np.union1d(universe, part)
+        if len(universe) > _MAX_BENCH_SHINGLES:
+            raise ValueError(
+                f"benchmark n-gram universe exceeds {_MAX_BENCH_SHINGLES} "
+                "distinct shingles; this side is corpus-sized — use the "
+                "dedup exchange path (dedup.dedup_ngram_jaccard) instead of "
+                "broadcast decontamination"
+            )
+    return ray.put(universe)  # sorted by np.union1d
 
 
 def _decontaminate_fn(bench_ref, text_col: str, n: int):
@@ -296,16 +309,15 @@ def stratified_sample(
     def prune(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
         rank = _sample_rank(ids)
-        arr = t[strata_col]
-        if isinstance(arr, pa.ChunkedArray):
-            arr = (
-                arr.combine_chunks()
-                if arr.num_chunks != 1
-                else arr.chunk(0)
-            )
-        if isinstance(arr, pa.ChunkedArray):  # older pyarrow combine
-            arr = arr.chunk(0) if arr.num_chunks else pa.array([], type=arr.type)
-        g = pc.dictionary_encode(arr).indices.to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(as_array(t[strata_col]))
+        # null strata -> null indices; fold them into ONE group (-1) so
+        # the prune bounds them at k like any other stratum instead of
+        # shipping every null row into the shuffle
+        g = (
+            pc.fill_null(enc.indices, -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         order = np.lexsort((ids, rank, g))
         gs = g[order]
         first_new = np.empty(len(gs), dtype=bool)
@@ -377,13 +389,28 @@ def pack_sequences(
     finally:
         lineage_ctx.execution_options.preserve_order = prev_order
 
+    def _tokens(t: pa.Table) -> np.ndarray:
+        """Validated int64 token counts: nulls/negatives would silently
+        corrupt every downstream bin id (NaN -> INT64_MIN), so they
+        fail loudly instead."""
+        col = t[token_col]
+        if col.null_count:
+            raise ValueError(
+                f"pack_sequences: {token_col!r} contains nulls; fill or "
+                "filter them first (a null token count has no bin)"
+            )
+        n = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(n) and int(n.min()) < 0:
+            raise ValueError(
+                f"pack_sequences: {token_col!r} contains negative counts"
+            )
+        return n
+
     @ray.remote(num_cpus=0.25)
     def _block_sum(t: pa.Table) -> int:
         if t.num_rows == 0:
             return 0
-        return int(
-            np.sum(t[token_col].to_numpy(zero_copy_only=False).astype(np.int64))
-        )
+        return int(np.sum(_tokens(t)))
 
     sums = ray.get([_block_sum.remote(r) for r in refs])
     offsets = np.concatenate([[0], np.cumsum(sums)[:-1]]).astype(np.int64)
@@ -392,7 +419,7 @@ def pack_sequences(
     def _assign(t: pa.Table, off: int) -> pa.Table:
         if t.num_rows == 0:
             return t.append_column(out_col, pa.array([], type=pa.int64()))
-        n = t[token_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = _tokens(t)
         excl = off + np.cumsum(n) - n
         return t.append_column(
             out_col, pa.array(excl // budget, type=pa.int64())
@@ -426,12 +453,7 @@ def weighted_sample(
         rank = _sample_rank(t[id_col].to_numpy(zero_copy_only=False))
         # vectorized per-stratum cut: python-map only the DISTINCT
         # strata (dictionary encode), then one gather
-        arr = t[strata_col]
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        if isinstance(arr, pa.ChunkedArray):  # older pyarrow combine
-            arr = arr.chunk(0) if arr.num_chunks else pa.array([], type=arr.type)
-        enc = pc.dictionary_encode(arr)
+        enc = pc.dictionary_encode(as_array(t[strata_col]))
         uniq_cuts = np.fromiter(
             (cuts.get(s, default_cut) for s in enc.dictionary.to_pylist()),
             np.int64,
@@ -507,17 +529,14 @@ def curate(
         keep = weighted_sample(keep, lang_col, id_col, lang_fracs, default_frac)
     counted = _text.token_count(keep, text_col)
     packed = pack_sequences(counted, "n_tokens", pack_budget, order_col=id_col)
-    drop_cols = [
-        c
-        for c in (
-            text_col,
-            "dup_word_frac",
-            "top_word_frac",
-            "dup_2gram_frac",
-            "n_hits",
-            "contaminated",
-        )
-    ]
+    drop_cols = (
+        text_col,
+        "dup_word_frac",
+        "top_word_frac",
+        "dup_2gram_frac",
+        "n_hits",
+        "contaminated",
+    )
 
     def strip(t: pa.Table) -> pa.Table:
         return t.drop_columns([c for c in drop_cols if c in t.column_names])

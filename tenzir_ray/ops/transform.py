@@ -251,25 +251,31 @@ def explode(ds: Dataset, col: str, pos_col: str = None) -> Dataset:
     ``take`` per batch — a pure width-to-length reshape that streams."""
 
     def apply(t: pa.Table) -> pa.Table:
-        arr = t[col]
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        parents = pc.list_parent_indices(arr)
-        flat = pc.list_flatten(arr)
-        out = t.drop_columns([col]).take(parents)
-        out = out.append_column(col, flat)
-        if pos_col is not None:
-            import numpy as np
+        import numpy as np
 
-            p = parents.to_numpy(zero_copy_only=False)
-            first = np.concatenate([[True], p[1:] != p[:-1]])
-            starts = np.maximum.accumulate(
-                np.where(first, np.arange(len(p)), 0)
-            )
-            out = out.append_column(
-                pos_col, pa.array(np.arange(len(p)) - starts, type=pa.int64())
-            )
-        return out
+        from tenzir_ray.arrowutil import as_array, ranges
+
+        arr = as_array(t[col])
+        # counts via list_value_length (null slot -> 0) stay consistent
+        # with list_flatten, which skips values under null slots even
+        # when the slot's offset range is non-empty; list_parent_indices
+        # does NOT skip them, so it must not be used here
+        counts = (
+            pc.fill_null(pc.list_value_length(arr), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        parents = np.repeat(np.arange(len(counts)), counts)
+        flat = pc.list_flatten(arr)
+        cols = {
+            name: as_array(t[name]).take(pa.array(parents, type=pa.int64()))
+            for name in t.column_names
+            if name != col
+        }
+        cols[col] = flat
+        if pos_col is not None:
+            cols[pos_col] = pa.array(ranges(counts), type=pa.int64())
+        return pa.table(cols)
 
     return ds.map_batches(apply, **_PYARROW)
 

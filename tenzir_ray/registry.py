@@ -56,9 +56,9 @@ def _builtin_inventory() -> Dict[str, list]:
                 "enumerate", "batch", "repeat", "measure", "pass", "discard",
                 "summarize", "sort", "top", "rare", "sigma", "pseudonymize",
                 "compress", "decompress", "serve", "decapsulate", "shell",
-                "lookup_join", "asof_join", "shuffle_join", "sessionize", "tumbling", "hopping",
+                "sessionize", "tumbling", "hopping",
                 "dedup-exact", "dedup-minhash", "dedup-ngram", "dedup-simhash", "dedup-embedding",
-                "range-join", "lookup-join", "shuffle-join", "lww", "explode",
+                "asof-join", "range-join", "lookup-join", "shuffle-join", "lww", "explode",
                 "decontaminate", "repetition", "redact", "sample", "pack",
             ]
             + sorted(OPERATORS)

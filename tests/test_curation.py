@@ -329,3 +329,27 @@ def test_pack_sequences_with_empty_blocks():
     )
     assert len(out) == 25
     assert out["bin_id"].tolist() == [i * 10 // 100 for i in range(25)]
+
+
+def test_review_fix_guards():
+    # sample-rank overflow guard (ids past int64-exact range fail loudly)
+    with pytest.raises(ValueError, match="BIGINT-parity"):
+        curation._sample_rank(np.array([4_000_000_000], dtype=np.int64))
+    # pack_sequences rejects null token counts instead of emitting garbage
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": [1, 2], "n_tokens": pa.array([5, None], type=pa.int64())})
+    )
+    with pytest.raises(Exception, match="nulls"):
+        curation.pack_sequences(ds, "n_tokens", budget=10, order_col="doc_id").materialize()
+    # null strata are pruned as one group, not kept wholesale
+    ds2 = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": np.arange(50, dtype=np.int64),
+                "g": [None] * 50,
+            }
+        )
+    ).repartition(1)
+    # prune stage alone must bound nulls at k: run full op, expect k rows
+    out = curation.stratified_sample(ds2, "g", "id", k=3).to_pandas()
+    assert len(out) == 3
