@@ -731,6 +731,26 @@ def _q_where_matches(sf_dir):
     return ops.select(ops.where(ds, 'text matches "spark"'), ["doc_id"])
 
 
+def _q_tql_functions(sf_dir):
+    """Scalar-function surface (expr.Call → pyarrow kernels) through
+    TQL extend: string, temporal and numeric functions in one pass."""
+    from tenzir_ray import tql
+
+    ds = read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "event_type", "ts", "value"]
+    )
+    out = tql.run(
+        "extend et_up = upper(event_type) "
+        "| extend h = hour(ts) "
+        "| extend vr = round(value, 2) "
+        "| extend pfx = substr(event_type, 1, 2) "
+        "| extend va = abs(value) "
+        "| select event_id, et_up, h, vr, pfx, va",
+        ds,
+    )
+    return _round_cols(out, ["va"], 6)
+
+
 def _q_tql_revenue(sf_dir):
     from tenzir_ray import tql
 
@@ -969,6 +989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tql_lww_latest": _q_tql_lww,
         "tql_dedup_exact": _q_tql_dedup_exact,
         "tql_median_quantile": _q_tql_median_quantile,
+        "tql_scalar_functions": _q_tql_functions,
     }
 
 
@@ -1337,6 +1358,14 @@ def oracle_sql() -> dict[str, str]:
                    round(median(l_quantity), 4) AS med_qty,
                    round(quantile_cont(l_discount, 0.95), 4) AS p95_disc
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "tql_scalar_functions": f"""
+            SELECT event_id, upper(event_type) AS et_up,
+                   hour(ts) AS h,
+                   floor(value * 100 + 0.5) / 100 AS vr,
+                   substr(event_type, 1, 2) AS pfx,
+                   {_sqlr('abs(value)', 6)} AS va
+            FROM events
         """,
         "tql_median_quantile": """
             SELECT l_returnflag,

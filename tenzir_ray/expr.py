@@ -54,6 +54,12 @@ class Literal:
 
 
 @dataclass(frozen=True)
+class Call:
+    name: str
+    args: tuple
+
+
+@dataclass(frozen=True)
 class Cmp:
     op: str  # ==, !=, <, <=, >, >=, in, not_in
     lhs: Any
@@ -219,6 +225,15 @@ class _Parser:
             return Literal(v)
         if k == "ident":
             self.eat()
+            if self.peek() == ("op", "("):
+                self.eat()
+                args = []
+                while self.peek() != ("op", ")"):
+                    args.append(self.or_())
+                    if self.peek() == ("op", ","):
+                        self.eat()
+                self.eat("op", ")")
+                return Call(v, tuple(args))
             return Field(tuple(v.split(".")))
         raise ValueError(f"unexpected token {v!r}")
 
@@ -249,11 +264,59 @@ def _resolve_field(table: pa.Table, path: tuple):
     return col
 
 
+# scalar functions (TQL function surface, the analog of the
+# reference's function plugins — tenzir/tql2/functions): name ->
+# (min_arity, max_arity, kernel). All vectorized pyarrow.compute;
+# SQL twins noted for oracle parity. substr is 1-based like SQL.
+_FUNCTIONS: dict = {
+    "upper": (1, 1, pc.utf8_upper),
+    "lower": (1, 1, pc.utf8_lower),
+    "trim": (1, 1, pc.utf8_trim_whitespace),
+    "length": (1, 1, pc.utf8_length),
+    "substr": (
+        2,
+        3,
+        lambda s, start, n=None: pc.utf8_slice_codeunits(
+            s, int(start) - 1, (int(start) - 1 + int(n)) if n is not None else None
+        ),
+    ),
+    "starts_with": (2, 2, lambda s, p: pc.starts_with(s, pattern=p)),
+    "ends_with": (2, 2, lambda s, p: pc.ends_with(s, pattern=p)),
+    "contains": (2, 2, lambda s, p: pc.match_substring(s, pattern=p)),
+    "abs": (1, 1, pc.abs),
+    "floor": (1, 1, pc.floor),
+    "ceil": (1, 1, pc.ceil),
+    "sqrt": (1, 1, pc.sqrt),
+    "exp": (1, 1, pc.exp),
+    "ln": (1, 1, pc.ln),
+    # floor(x*10^n + 0.5)/10^n — matches the repo-wide _round_cols /
+    # _sqlr convention (DuckDB round() half-away parity for x >= 0)
+    "round": (
+        1,
+        2,
+        lambda x, n=0: pc.divide(
+            pc.floor(pc.add(pc.multiply(x, float(10 ** int(n))), 0.5)),
+            float(10 ** int(n)),
+        ),
+    ),
+    "coalesce": (2, 99, pc.coalesce),
+    "year": (1, 1, pc.year),
+    "month": (1, 1, pc.month),
+    "day": (1, 1, pc.day),
+    "hour": (1, 1, pc.hour),
+    "minute": (1, 1, pc.minute),
+    "second": (1, 1, pc.second),
+}
+
+
 def _eval(node: Node, table: pa.Table):
     if isinstance(node, Literal):
         return node.value
     if isinstance(node, Field):
         return _resolve_field(table, node.path)
+    if isinstance(node, Call):
+        args = [_eval(a, table) for a in node.args]
+        return _FUNCTIONS[node.name][2](*args)
     if isinstance(node, Arith):
         lhs, rhs = _eval(node.lhs, table), _eval(node.rhs, table)
         fn = {
@@ -341,6 +404,21 @@ def _validate(node: Node) -> None:
     elif isinstance(node, Arith):
         _validate(node.lhs)
         _validate(node.rhs)
+    elif isinstance(node, Call):
+        if node.name not in _FUNCTIONS:
+            raise ValueError(
+                f"unknown function {node.name!r}; available: "
+                f"{sorted(_FUNCTIONS)}"
+            )
+        lo, hi, _ = _FUNCTIONS[node.name]
+        if not lo <= len(node.args) <= hi:
+            raise ValueError(
+                f"{node.name} takes {lo}"
+                + (f"..{hi}" if hi != lo else "")
+                + f" args, got {len(node.args)}"
+            )
+        for a in node.args:
+            _validate(a)
 
 
 def resolve_concepts(node: Node, concepts: dict) -> Node:
@@ -388,6 +466,7 @@ def compile_scalar(expr: Union[str, Node]) -> Callable[[pa.Table], pa.Array]:
     """Compile a scalar expression to ``table -> array`` (for put/extend/
     replace right-hand sides)."""
     node = parse(expr) if isinstance(expr, str) else expr
+    _validate(node)
 
     def evaluate(table: pa.Table):
         out = _eval(node, table)

@@ -72,3 +72,30 @@ def test_matches_regex():
     assert mask('s matches "a|b"') == [True, True, False, True, None]
     # regex is not pushdown-expressible -> None, not an exception
     assert to_dataset_filter('s matches "a"') is None
+
+
+def test_scalar_function_calls():
+    import pyarrow as pa
+    import pytest
+
+    from tenzir_ray.expr import compile_predicate, compile_scalar
+
+    t = pa.table(
+        {
+            "name": ["Alice", "bob", None],
+            "x": [1.234, -2.0, 9.0],
+        }
+    )
+    assert compile_scalar("upper(name)")(t).to_pylist() == ["ALICE", "BOB", None]
+    assert compile_scalar("substr(name, 2, 3)")(t).to_pylist() == ["lic", "ob", None]
+    assert compile_scalar("coalesce(name, 'missing')")(t).to_pylist() == [
+        "Alice", "bob", "missing",
+    ]
+    assert compile_scalar("round(x, 1)")(t).to_pylist() == [1.2, -2.0, 9.0]
+    assert compile_scalar("length(trim(name))")(t).to_pylist() == [5, 3, None]
+    mask = compile_predicate("starts_with(name, 'A') || abs(x) > 5")(t)
+    assert mask.to_pylist() == [True, False, True]
+    with pytest.raises(ValueError, match="unknown function"):
+        compile_scalar("frobnicate(x)")
+    with pytest.raises(ValueError, match="takes"):
+        compile_scalar("upper(name, x)")
