@@ -259,7 +259,12 @@ def asof_shuffle_join(
     prev_order = lineage_ctx.execution_options.preserve_order
     lineage_ctx.execution_options.preserve_order = True
     try:
-        refs = sorted_ds.materialize().to_arrow_refs()
+        # bind the MaterializedDataset so its block refs cannot be
+        # GC-reclaimed between to_arrow_refs and the downstream
+        # from_arrow_refs metadata fetch (rare suite-load flake:
+        # KeyError inside ray::get_table_block_metadata_schema)
+        mat = sorted_ds.materialize()
+        refs = mat.to_arrow_refs()
     finally:
         lineage_ctx.execution_options.preserve_order = prev_order
 
@@ -356,7 +361,9 @@ def asof_shuffle_join(
         return pa.table({c: cols[c] for c in out_cols})
 
     out_refs = [_assign.remote(r, c) for r, c in zip(refs, carries)]
-    return ray.data.from_arrow_refs(out_refs)
+    out = ray.data.from_arrow_refs(out_refs)
+    del mat  # keep sorted blocks alive through the metadata fetch above
+    return out
 
 
 def range_join(
