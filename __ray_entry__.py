@@ -635,6 +635,55 @@ def _decapsulate_oracle() -> str:
     return _synth_cache["decap"]
 
 
+def _q_asof_forward_join(sf_dir):
+    """Forward as-of: for each event, the user's EARLIEST order at or
+    after the event (the negated-axis reduction to the backward path)."""
+    from tenzir_ray.ops.join import asof_shuffle_join
+
+    from ray.data.aggregate import Max
+
+    orders = read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "user_id": t["o_custkey"],
+                "ts": t["o_orderdate"].cast(pa.timestamp("us")),
+            }
+        )
+
+    r_ds = (
+        read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+        .groupby(["user_id", "ts"])
+        .aggregate(Max("value", alias_name="next_event_value"))
+    )
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "next_event_value": t["next_event_value"],
+                "next_event_ts": t["ts"],
+            }
+        )
+
+    out = asof_shuffle_join(
+        orders.map_batches(prep_left, **_PYARROW),
+        r_ds.map_batches(prep_right, **_PYARROW),
+        on="ts",
+        by="user_id",
+        direction="forward",
+    )
+    # matched rows only (NaT never equals NaT in naive comparators;
+    # LEFT-OUTER null semantics are pytest-covered)
+    out = ops.where(out, "next_event_ts != null")
+    return _round_cols(out, ["next_event_value"], 6)
+
+
 def _q_sessionize(sf_dir):
     from tenzir_ray.ops.window import sessionize
 
@@ -974,6 +1023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lookup_join_orders": _q_lookup_join,
         "asof_join_events_orders": _q_asof_join,
         "asof_shuffle_join_events": _q_asof_shuffle_join,
+        "asof_forward_join_events": _q_asof_forward_join,
         "sessionize_events": _q_sessionize,
         "tumbling_counts": _q_tumbling_counts,
         "shuffle_join_lineitem_orders": _q_shuffle_join,
@@ -1692,6 +1742,19 @@ def oracle_sql() -> dict[str, str]:
                    r.ts AS last_order_ts
             FROM events e ASOF LEFT JOIN r
                 ON e.user_id = r.user_id AND e.ts >= r.ts
+        """,
+        "asof_forward_join_events": f"""
+            WITH r AS (
+                SELECT user_id, ts, max(value) AS next_event_value
+                FROM events GROUP BY 1, 2
+            )
+            SELECT o.o_orderkey, o.o_custkey AS user_id,
+                   CAST(o.o_orderdate AS TIMESTAMP) AS ts,
+                   {_sqlr('r.next_event_value', 6)} AS next_event_value,
+                   r.ts AS next_event_ts
+            FROM orders o ASOF JOIN r
+                ON o.o_custkey = r.user_id
+               AND CAST(o.o_orderdate AS TIMESTAMP) <= r.ts
         """,
         "asof_shuffle_join_events": f"""
             WITH r AS (

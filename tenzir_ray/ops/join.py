@@ -205,8 +205,9 @@ def asof_shuffle_join(
     dropped up front.
 
     Always LEFT OUTER (every left row survives; unmatched ones carry
-    null right payloads). Only ``direction='backward'`` is supported —
-    forward is the same algorithm on a reversed sort; ask if needed.
+    null right payloads). ``direction='backward'`` matches the latest
+    right row at-or-before; ``'forward'`` the earliest at-or-after
+    (implemented as backward over the negated on-axis).
     Output columns: all left columns, then right payload columns
     (``suffix``-renamed on clashes). Uniqueness contract matches
     :func:`asof_join`: right (by, on) combinations should be unique,
@@ -215,8 +216,38 @@ def asof_shuffle_join(
     import pyarrow.compute as pc
     import ray.data
 
+    if direction == "forward":
+        # forward = backward on the negated on-axis:
+        # e.on <= r.on  <=>  -e.on >= -r.on (exact matches preserved).
+        # Temporal columns ride as negated int64 and cast back after.
+        typ = _arrow_schema(left).field(on).type
+
+        def neg(t: pa.Table) -> pa.Table:
+            col = t[on]
+            if pa.types.is_temporal(typ):
+                col = pc.cast(col, pa.int64())
+            col = pc.negate_checked(col)
+            return t.set_column(t.column_names.index(on), on, col)
+
+        def restore(t: pa.Table) -> pa.Table:
+            col = pc.negate_checked(t[on])
+            if pa.types.is_temporal(typ):
+                col = pc.cast(col, typ)
+            return t.set_column(t.column_names.index(on), on, col)
+
+        out = asof_shuffle_join(
+            left.map_batches(neg, **_PYARROW),
+            right.map_batches(neg, **_PYARROW),
+            on=on,
+            by=by,
+            direction="backward",
+            suffix=suffix,
+        )
+        return out.map_batches(restore, **_PYARROW)
     if direction != "backward":
-        raise ValueError("asof_shuffle_join supports direction='backward' only")
+        raise ValueError(
+            "asof_shuffle_join supports direction='backward' or 'forward'"
+        )
     by_cols: List[str] = [] if by is None else [by] if isinstance(by, str) else list(by)
 
     l_schema = _arrow_schema(left)

@@ -282,3 +282,50 @@ def test_asof_shuffle_join_matches_duckdb_asof(ray_session):
     # matches NULL as greater-than-everything)
     assert g.loc[~nn, "price"].isna().all()
     assert g["price"].notna().sum() > 0.9 * nl
+
+
+def test_asof_shuffle_join_forward(ray_session):
+    """direction='forward': earliest right row at-or-after, exact
+    matches included, nulls never match."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from tenzir_ray.ops.join import asof_shuffle_join
+
+    left = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4],
+            "k": [1, 1, 2, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 05:00", "2024-01-01 01:00", None]
+            ),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": [1, 1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 02:00", "2024-01-01 05:00", "2024-01-01 00:30"]
+            ),
+            "v": [10.0, 20.0, 30.0],
+        }
+    )
+    out = (
+        asof_shuffle_join(
+            ray.data.from_pandas(left).repartition(2),
+            ray.data.from_pandas(right).repartition(2),
+            on="ts",
+            by="k",
+            direction="forward",
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    # id1 -> next at 02:00 (v=10); id2 exact match at 05:00 (v=20);
+    # id3 at 01:00 has no later right row for k=2 -> null; id4 null ts -> null
+    assert out["v"].tolist()[:2] == [10.0, 20.0]
+    assert np.isnan(out["v"].tolist()[2]) and np.isnan(out["v"].tolist()[3])
+    # on-axis restored to real timestamps
+    assert out["ts"].iloc[0] == pd.Timestamp("2024-01-01 00:00")
