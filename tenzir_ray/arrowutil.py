@@ -86,3 +86,26 @@ def as_array(arr) -> "pa.Array":
     if isinstance(arr, pa.ChunkedArray):  # older pyarrow: combine returns chunked
         arr = arr.chunk(0) if arr.num_chunks else pa.array([], type=arr.type)
     return arr
+
+
+def from_arrow_refs_retried(out_refs, attempts: int = 3):
+    """``ray.data.from_arrow_refs`` with a short retry.
+
+    Its internal per-ref metadata fetch (``ray::get_table_block_
+    metadata_schema``) can fail transiently under heavy host load
+    (observed as a rare KeyError deep in Ray when the shared sandbox
+    spikes); the refs themselves stay valid, so re-submitting the tiny
+    metadata tasks is safe and idempotent."""
+    import time
+
+    import ray
+    import ray.data
+
+    last = None
+    for i in range(attempts):
+        try:
+            return ray.data.from_arrow_refs(out_refs)
+        except ray.exceptions.RayTaskError as e:  # pragma: no cover - load-dependent
+            last = e
+            time.sleep(0.5 * (i + 1))
+    raise last

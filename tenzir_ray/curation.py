@@ -428,7 +428,9 @@ def pack_sequences(
     out_refs = [_assign.remote(r, int(o)) for r, o in zip(refs, offsets)]
     import ray.data as _rd
 
-    return _rd.from_arrow_refs(out_refs)
+    from tenzir_ray.arrowutil import from_arrow_refs_retried
+
+    return from_arrow_refs_retried(out_refs)
 
 
 def weighted_sample(

@@ -392,7 +392,9 @@ def asof_shuffle_join(
         return pa.table({c: cols[c] for c in out_cols})
 
     out_refs = [_assign.remote(r, c) for r, c in zip(refs, carries)]
-    out = ray.data.from_arrow_refs(out_refs)
+    from tenzir_ray.arrowutil import from_arrow_refs_retried
+
+    out = from_arrow_refs_retried(out_refs)
     del mat  # keep sorted blocks alive through the metadata fetch above
     return out
 

@@ -228,4 +228,6 @@ def sessionize_sorted(
         return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     out_refs = [_assign.remote(r, off) for r, off in zip(refs, offsets)]
-    return ray.data.from_arrow_refs(out_refs)
+    from tenzir_ray.arrowutil import from_arrow_refs_retried
+
+    return from_arrow_refs_retried(out_refs)

@@ -215,21 +215,29 @@ def _compile_stage(stage: str) -> Callable[[Dataset], Dataset]:
 
         return _hop
     if op == "asof-join":
-        # asof-join <parquet_path> on <ts> [by <key>] [--shuffle]
-        shuffle = rest.endswith(" --shuffle")
-        if shuffle:
-            rest = rest[: -len(" --shuffle")].rstrip()
+        # asof-join <parquet_path> on <ts> [by <key>] [--shuffle] [--forward]
+        flags = {f for f in ("--shuffle", "--forward") if f" {f}" in f" {rest} "}
+        for f in flags:
+            rest = rest.replace(f" {f}", "").rstrip()
         m = re.match(r"(\S+)\s+on\s+(\S+)(?:\s+by\s+(\S+))?$", rest)
         if not m:
-            raise ValueError("asof-join wants: <parquet> on <ts> [by <key>] [--shuffle]")
+            raise ValueError(
+                "asof-join wants: <parquet> on <ts> [by <key>] [--shuffle] [--forward]"
+            )
+        direction = "forward" if "--forward" in flags else "backward"
+        if direction == "forward" and "--shuffle" not in flags:
+            raise ValueError("--forward requires --shuffle (the shuffle path)")
 
-        def _aj(ds, _p=m.group(1), _on=m.group(2), _by=m.group(3), _sh=shuffle):
+        def _aj(ds, _p=m.group(1), _on=m.group(2), _by=m.group(3),
+                _sh="--shuffle" in flags, _dir=direction):
             if _sh:  # big-right path: the right side stays a Dataset
                 import ray.data
 
                 from tenzir_ray.ops.join import asof_shuffle_join
 
-                return asof_shuffle_join(ds, ray.data.read_parquet(_p), on=_on, by=_by)
+                return asof_shuffle_join(
+                    ds, ray.data.read_parquet(_p), on=_on, by=_by, direction=_dir
+                )
             import pyarrow.parquet as pq
 
             from tenzir_ray.ops.join import asof_join
