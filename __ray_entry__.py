@@ -935,6 +935,16 @@ def _q_pack_sequences(sf_dir):
     return curation.pack_sequences(counted, "n_tokens", budget=512, order_col="doc_id")
 
 
+def _q_unpivot(sf_dir):
+    """Wide→long melt of three lineitem measures (SQL UNPIVOT parity)."""
+    ds = read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"],
+    )
+    out = ops.unpivot(ds, ["l_quantity", "l_discount", "l_tax"])
+    return _round_cols(out, ["value"], 6)
+
+
 def _q_redact(sf_dir):
     """PII scrub: synthesize a deterministic PII-bearing note per event
     (email + IPv4 + phone derived from user_id — the oracle builds the
@@ -1030,6 +1040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_customers_orders": _q_semi_join,
         "redact_events": _q_redact,
         "explode_embeddings": _q_explode,
+        "unpivot_lineitem": _q_unpivot,
         "pack_sequences_docs": _q_pack_sequences,
         "weighted_sample_docs": _q_weighted_sample,
         "curate_docs": _q_curate,
@@ -1645,6 +1656,20 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                    // 512 AS bin_id
             FROM t
+        """,
+        "unpivot_lineitem": f"""
+            SELECT l_orderkey, l_linenumber, name,
+                   {_sqlr('value', 6)} AS value
+            FROM (
+              SELECT l_orderkey, l_linenumber,
+                     'l_quantity' AS name, l_quantity AS value FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber,
+                     'l_discount', l_discount FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber,
+                     'l_tax', l_tax FROM lineitem
+            )
         """,
         "explode_embeddings": f"""
             SELECT vec_id,

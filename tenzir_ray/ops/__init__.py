@@ -29,6 +29,7 @@ from tenzir_ray.ops.transform import (  # noqa: F401
     taste,
     unflatten,
     unique,
+    unpivot,
     where,
 )
 from tenzir_ray.ops.summarize import AGGREGATE_FUNCTIONS, lww_latest, summarize  # noqa: F401

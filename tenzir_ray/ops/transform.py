@@ -488,3 +488,29 @@ def discard(ds: Dataset) -> None:
     ``iter_batches`` would pull every block to the driver just to
     throw it away."""
     ds.map_batches(lambda t: t.slice(0, 0), **_PYARROW).materialize()
+
+
+def unpivot(
+    ds: Dataset,
+    value_cols: Sequence[str],
+    var_col: str = "name",
+    value_col: str = "value",
+) -> Dataset:
+    """Wide→long melt (SQL ``UNPIVOT``; no reference analog): each input
+    row emits one row per entry of ``value_cols``, keeping every other
+    column as an identifier. Value columns are cast to a common type by
+    Arrow's ``concat_tables`` promotion. Shuffle-free and vectorized:
+    one slice+concat per batch."""
+    value_cols = list(value_cols)
+
+    def apply(t: pa.Table) -> pa.Table:
+        id_cols = [c for c in t.column_names if c not in value_cols]
+        parts = []
+        for vc in value_cols:
+            cols = {c: t[c] for c in id_cols}
+            cols[var_col] = pa.array([vc] * t.num_rows, type=pa.string())
+            cols[value_col] = t[vc]
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts, promote_options="permissive")
+
+    return ds.map_batches(apply, **_PYARROW)

@@ -376,3 +376,21 @@ def test_explode_list_column():
 
     out2 = tql.run("explode xs", ray.data.from_arrow(t)).to_pandas()
     assert sorted(out2["xs"].tolist()) == [10, 20, 30]
+
+
+def test_unpivot_wide_to_long():
+    import pyarrow as pa
+    import ray.data
+
+    from tenzir_ray import ops
+
+    t = pa.table({"id": [1, 2], "a": [10.0, 20.0], "b": [0.5, None]})
+    out = (
+        ops.unpivot(ray.data.from_arrow(t), ["a", "b"])
+        .to_pandas()
+        .sort_values(["id", "name"])
+        .reset_index(drop=True)
+    )
+    assert out["name"].tolist() == ["a", "b", "a", "b"]
+    assert out["value"].tolist()[0] == 10.0
+    assert len(out) == 4
