@@ -945,6 +945,20 @@ def _q_unpivot(sf_dir):
     return _round_cols(out, ["value"], 6)
 
 
+def _q_pivot(sf_dir):
+    """Round-trip partner of unpivot_lineitem: melt three measures,
+    pivot them back wide (masked-column aggregation, one shuffle)."""
+    ds = read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"],
+    )
+    long = ops.unpivot(ds, ["l_quantity", "l_discount", "l_tax"])
+    wide = ops.pivot(
+        long, ["l_orderkey", "l_linenumber"], ["l_quantity", "l_discount", "l_tax"]
+    )
+    return _round_cols(wide, ["l_quantity", "l_discount", "l_tax"], 6)
+
+
 def _q_redact(sf_dir):
     """PII scrub: synthesize a deterministic PII-bearing note per event
     (email + IPv4 + phone derived from user_id — the oracle builds the
@@ -1041,6 +1055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_events": _q_redact,
         "explode_embeddings": _q_explode,
         "unpivot_lineitem": _q_unpivot,
+        "pivot_lineitem": _q_pivot,
         "pack_sequences_docs": _q_pack_sequences,
         "weighted_sample_docs": _q_weighted_sample,
         "curate_docs": _q_curate,
@@ -1656,6 +1671,13 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                    // 512 AS bin_id
             FROM t
+        """,
+        "pivot_lineitem": f"""
+            SELECT l_orderkey, l_linenumber,
+                   {_sqlr('max(l_quantity)', 6)} AS l_quantity,
+                   {_sqlr('max(l_discount)', 6)} AS l_discount,
+                   {_sqlr('max(l_tax)', 6)} AS l_tax
+            FROM lineitem GROUP BY 1, 2
         """,
         "unpivot_lineitem": f"""
             SELECT l_orderkey, l_linenumber, name,

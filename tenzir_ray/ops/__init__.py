@@ -20,6 +20,7 @@ from tenzir_ray.ops.transform import (  # noqa: F401
     head,
     measure,
     pass_op,
+    pivot,
     put,
     rename,
     repeat,

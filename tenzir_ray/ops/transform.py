@@ -514,3 +514,45 @@ def unpivot(
         return pa.concat_tables(parts, promote_options="permissive")
 
     return ds.map_batches(apply, **_PYARROW)
+
+
+def pivot(
+    ds: Dataset,
+    ids: Sequence[str],
+    names: Sequence[str],
+    var_col: str = "name",
+    value_col: str = "value",
+) -> Dataset:
+    """Long→wide pivot (inverse of :func:`unpivot`; SQL ``PIVOT``):
+    one output row per distinct ``ids`` combination, one column per
+    entry of ``names`` holding that name's value (max over duplicates,
+    null where absent).
+
+    Distributed shape: each name becomes a masked column
+    (``value if name == X else null``) in one vectorized pass, then ONE
+    hash-shuffle groupby with N max-aggregations resolves the pivot —
+    no per-group Python tasks, so a billion distinct ids costs one
+    aggregation shuffle. ``names`` must be the (small, known) column
+    universe; pass the distinct values explicitly."""
+    from ray.data.aggregate import Max
+
+    ids = list(ids)
+    names = list(names)
+
+    def mask_cols(t: pa.Table) -> pa.Table:
+        name_arr = t[var_col]
+        val = t[value_col]
+        if isinstance(val, pa.ChunkedArray):
+            val = val.combine_chunks()
+        cols = {c: t[c] for c in ids}
+        for nm in names:
+            m = pc.equal(name_arr, nm)
+            if isinstance(m, pa.ChunkedArray):
+                m = m.combine_chunks()
+            cols[nm] = pc.if_else(m, val, pa.nulls(t.num_rows, type=val.type))
+        return pa.table(cols)
+
+    masked = ds.map_batches(mask_cols, **_PYARROW)
+    return masked.groupby(ids).aggregate(
+        *[Max(nm, alias_name=nm) for nm in names]
+    )

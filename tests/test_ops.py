@@ -394,3 +394,24 @@ def test_unpivot_wide_to_long():
     assert out["name"].tolist() == ["a", "b", "a", "b"]
     assert out["value"].tolist()[0] == 10.0
     assert len(out) == 4
+
+
+def test_pivot_inverse_of_unpivot():
+    import pyarrow as pa
+    import ray.data
+
+    from tenzir_ray import ops
+
+    t = pa.table({"id": [1, 2, 3], "a": [10.0, 20.0, 30.0], "b": [0.5, None, 1.5]})
+    long = ops.unpivot(ray.data.from_arrow(t), ["a", "b"])
+    wide = (
+        ops.pivot(long, ["id"], ["a", "b"])
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert wide["a"].tolist() == [10.0, 20.0, 30.0]
+    assert wide["b"].tolist()[0] == 0.5
+    import numpy as np
+
+    assert np.isnan(wide["b"].tolist()[1])
