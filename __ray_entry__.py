@@ -684,6 +684,18 @@ def _q_asof_forward_join(sf_dir):
     return _round_cols(out, ["next_event_value"], 6)
 
 
+def _q_lag(sf_dir):
+    """Per-user LAG window function over events (distributed sorted
+    scan with one carry row per block boundary)."""
+    from tenzir_ray.ops.window import lag_col
+
+    ds = read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+    out = lag_col(ds, "value", "user_id", ["ts", "event_id"], out_col="prev_value")
+    return _round_cols(out, ["value", "prev_value"], 6)
+
+
 def _q_sessionize(sf_dir):
     from tenzir_ray.ops.window import sessionize
 
@@ -1049,6 +1061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_shuffle_join_events": _q_asof_shuffle_join,
         "asof_forward_join_events": _q_asof_forward_join,
         "sessionize_events": _q_sessionize,
+        "lag_events": _q_lag,
         "tumbling_counts": _q_tumbling_counts,
         "shuffle_join_lineitem_orders": _q_shuffle_join,
         "semi_join_customers_orders": _q_semi_join,
@@ -1577,6 +1590,12 @@ def oracle_sql() -> dict[str, str]:
         "cef_roundtrip": """
             SELECT CAST(event_id AS VARCHAR) AS signature_id,
                    event_type AS name, '5' AS severity
+            FROM events
+        """,
+        "lag_events": f"""
+            SELECT event_id, user_id, ts, {_sqlr('value', 6)} AS value,
+                   {_sqlr('LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)', 6)}
+                       AS prev_value
             FROM events
         """,
         "sessionize_events": """

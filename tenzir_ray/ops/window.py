@@ -231,3 +231,83 @@ def sessionize_sorted(
     from tenzir_ray.arrowutil import from_arrow_refs_retried
 
     return from_arrow_refs_retried(out_refs)
+
+
+def lag_col(
+    ds: Dataset,
+    col: str,
+    key: str,
+    order_cols,
+    out_col: Optional[str] = None,
+    ) -> Dataset:
+    """Per-key LAG window function: for each row, the previous row's
+    ``col`` within its ``key`` partition ordered by ``order_cols``
+    (null for the partition's first row) — SQL
+    ``LAG(col) OVER (PARTITION BY key ORDER BY ...)``.
+
+    Distributed as the sorted-scan + boundary-carry shape shared with
+    :func:`sessionize_sorted` and ``curation.pack_sequences``: one
+    range-partition sort by (key, order), a vectorized in-block shift,
+    and ONE carry row (the last (key, value) pair) per block boundary —
+    driver state is O(blocks) scalars, never rows."""
+    import ray
+    import ray.data
+
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    out_col = out_col or f"{col}_lag"
+
+    sorted_ds = ds.sort([key] + order_cols)
+    lineage_ctx = sorted_ds.context
+    prev_order = lineage_ctx.execution_options.preserve_order
+    lineage_ctx.execution_options.preserve_order = True
+    try:
+        mat = sorted_ds.materialize()
+        refs = mat.to_arrow_refs()
+    finally:
+        lineage_ctx.execution_options.preserve_order = prev_order
+
+    @ray.remote(num_cpus=0.25)
+    def _last_row(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        i = t.num_rows - 1
+        return (t[key][i].as_py(), t[col][i].as_py())
+
+    lasts = ray.get([_last_row.remote(r) for r in refs])
+    # carry for block i = the nearest non-empty predecessor's last row
+    carries, prev = [], None
+    for last in lasts:
+        carries.append(prev)
+        if last is not None:
+            prev = last
+
+    @ray.remote
+    def _assign(t: pa.Table, carry) -> pa.Table:
+        val = t[col]
+        if isinstance(val, pa.ChunkedArray):
+            val = val.combine_chunks()
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.nulls(0, type=val.type))
+        import pyarrow.compute as pc
+
+        shifted = pa.concat_arrays([pa.nulls(1, type=val.type), val.slice(0, len(val) - 1)])
+        kv = t[key]
+        if isinstance(kv, pa.ChunkedArray):
+            kv = kv.combine_chunks()
+        same_key = np.zeros(t.num_rows, dtype=bool)
+        k_np = kv.to_numpy(zero_copy_only=False)
+        same_key[1:] = k_np[1:] == k_np[:-1]
+        if carry is not None and carry[0] == k_np[0]:
+            shifted = pa.concat_arrays(
+                [pa.array([carry[1]], type=val.type), shifted.slice(1)]
+            )
+            same_key[0] = True
+        lag = pc.if_else(pa.array(same_key), shifted, pa.nulls(t.num_rows, type=val.type))
+        return t.append_column(out_col, lag).replace_schema_metadata(None)
+
+    out_refs = [_assign.remote(r, c) for r, c in zip(refs, carries)]
+    from tenzir_ray.arrowutil import from_arrow_refs_retried
+
+    out = from_arrow_refs_retried(out_refs)
+    del mat
+    return out

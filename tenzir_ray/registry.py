@@ -59,7 +59,7 @@ def _builtin_inventory() -> Dict[str, list]:
                 "sessionize", "tumbling", "hopping",
                 "dedup-exact", "dedup-minhash", "dedup-ngram", "dedup-simhash", "dedup-embedding",
                 "asof-join", "range-join", "lookup-join", "shuffle-join", "lww", "explode",
-                "decontaminate", "repetition", "redact", "sample", "pack",
+                "decontaminate", "repetition", "redact", "sample", "pack", "lag",
             ]
             + sorted(OPERATORS)
         ),

@@ -361,6 +361,18 @@ def _compile_stage(stage: str) -> Callable[[Dataset], Dataset]:
             return explode(ds, _c, pos_col=_p)
 
         return _ex
+    if op == "lag":
+        # lag <col> by <key> order <col1[,col2]> — per-key LAG window
+        m = re.match(r"(\S+)\s+by\s+(\S+)\s+order\s+(\S+)$", rest)
+        if not m:
+            raise ValueError("lag wants: <col> by <key> order <col1[,col2]>")
+
+        def _lag(ds, _c=m.group(1), _k=m.group(2), _o=m.group(3).split(",")):
+            from tenzir_ray.ops.window import lag_col
+
+            return lag_col(ds, _c, _k, _o)
+
+        return _lag
     if op == "pack":
         # pack <token_col> <budget> by <order_col> — sequence packing
         m = re.match(r"(\S+)\s+(\d+)\s+by\s+(\S+)$", rest)

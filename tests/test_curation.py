@@ -353,3 +353,40 @@ def test_review_fix_guards():
     # prune stage alone must bound nulls at k: run full op, expect k rows
     out = curation.stratified_sample(ds2, "g", "id", k=3).to_pandas()
     assert len(out) == 3
+
+
+def test_lag_col_block_boundaries():
+    from tenzir_ray.ops.window import lag_col
+
+    n = 300
+    rng = np.random.default_rng(2)
+    t = pa.table(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "k": rng.integers(0, 3, n),  # hot keys -> span sorted blocks
+            "v": np.arange(n, dtype=np.float64),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+    out = (
+        lag_col(ds, "v", "k", ["id"], out_col="pv")
+        .to_pandas()
+        .sort_values(["k", "id"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    want = t.to_pandas().sort_values(["k", "id"]).reset_index(drop=True)
+    want["pv"] = want.groupby("k")["v"].shift()
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_tql_lag_verb():
+    from tenzir_ray import tql
+
+    ds = ray.data.from_arrow(
+        pa.table({"k": [1, 1, 2], "t": [1, 2, 1], "v": [5.0, 7.0, 9.0]})
+    )
+    out = tql.run("lag v by k order t", ds).to_pandas().sort_values(["k", "t"])
+    assert out["v_lag"].tolist()[1] == 5.0
+    assert np.isnan(out["v_lag"].tolist()[0]) and np.isnan(out["v_lag"].tolist()[2])
