@@ -687,13 +687,14 @@ def _q_asof_forward_join(sf_dir):
 def _q_lag(sf_dir):
     """Per-user LAG window function over events (distributed sorted
     scan with one carry row per block boundary)."""
-    from tenzir_ray.ops.window import lag_col
+    from tenzir_ray.ops.window import lag_col, lead_col
 
     ds = read_parquet(
         _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
     )
     out = lag_col(ds, "value", "user_id", ["ts", "event_id"], out_col="prev_value")
-    return _round_cols(out, ["value", "prev_value"], 6)
+    out = lead_col(out, "value", "user_id", ["ts", "event_id"], out_col="next_value")
+    return _round_cols(out, ["value", "prev_value", "next_value"], 6)
 
 
 def _q_sessionize(sf_dir):
@@ -1595,7 +1596,9 @@ def oracle_sql() -> dict[str, str]:
         "lag_events": f"""
             SELECT event_id, user_id, ts, {_sqlr('value', 6)} AS value,
                    {_sqlr('LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)', 6)}
-                       AS prev_value
+                       AS prev_value,
+                   {_sqlr('LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)', 6)}
+                       AS next_value
             FROM events
         """,
         "sessionize_events": """

@@ -239,7 +239,8 @@ def lag_col(
     key: str,
     order_cols,
     out_col: Optional[str] = None,
-    ) -> Dataset:
+    _desc: bool = False,
+) -> Dataset:
     """Per-key LAG window function: for each row, the previous row's
     ``col`` within its ``key`` partition ordered by ``order_cols``
     (null for the partition's first row) — SQL
@@ -256,7 +257,7 @@ def lag_col(
     order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
     out_col = out_col or f"{col}_lag"
 
-    sorted_ds = ds.sort([key] + order_cols)
+    sorted_ds = ds.sort([key] + order_cols, descending=[False] + [_desc] * len(order_cols))
     lineage_ctx = sorted_ds.context
     prev_order = lineage_ctx.execution_options.preserve_order
     lineage_ctx.execution_options.preserve_order = True
@@ -311,3 +312,20 @@ def lag_col(
     out = from_arrow_refs_retried(out_refs)
     del mat
     return out
+
+
+def lead_col(
+    ds: Dataset,
+    col: str,
+    key: str,
+    order_cols,
+    out_col: Optional[str] = None,
+) -> Dataset:
+    """Per-key LEAD window function — SQL ``LEAD(col) OVER (PARTITION
+    BY key ORDER BY ...)``. Same distributed machinery as
+    :func:`lag_col` with the order columns sorted DESCENDING (the
+    previous row in reversed order IS the next row), so the carry/shift
+    logic is shared verbatim."""
+    return lag_col(
+        ds, col, key, order_cols, out_col=out_col or f"{col}_lead", _desc=True
+    )

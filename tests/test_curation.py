@@ -390,3 +390,17 @@ def test_tql_lag_verb():
     out = tql.run("lag v by k order t", ds).to_pandas().sort_values(["k", "t"])
     assert out["v_lag"].tolist()[1] == 5.0
     assert np.isnan(out["v_lag"].tolist()[0]) and np.isnan(out["v_lag"].tolist()[2])
+
+
+def test_lead_col():
+    from tenzir_ray.ops.window import lead_col
+
+    t = pa.table({"k": [1, 1, 1, 2], "t": [1, 2, 3, 1], "v": [5.0, 7.0, 9.0, 4.0]})
+    out = (
+        lead_col(ray.data.from_arrow(t).repartition(3), "v", "k", ["t"])
+        .to_pandas()
+        .sort_values(["k", "t"])
+    )
+    vals = out["v_lead"].tolist()
+    assert vals[:2] == [7.0, 9.0]
+    assert np.isnan(vals[2]) and np.isnan(vals[3])
