@@ -694,7 +694,11 @@ def _q_lag(sf_dir):
     )
     out = lag_col(ds, "value", "user_id", ["ts", "event_id"], out_col="prev_value")
     out = lead_col(out, "value", "user_id", ["ts", "event_id"], out_col="next_value")
-    return _round_cols(out, ["value", "prev_value", "next_value"], 6)
+    from tenzir_ray.ops.window import cumsum_col
+
+    out = cumsum_col(out, "value", "user_id", ["ts", "event_id"], out_col="running_value")
+    out = _round_cols(out, ["value", "prev_value", "next_value"], 6)
+    return _round_cols(out, ["running_value"], 4)
 
 
 def _q_sessionize(sf_dir):
@@ -1598,7 +1602,9 @@ def oracle_sql() -> dict[str, str]:
                    {_sqlr('LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)', 6)}
                        AS prev_value,
                    {_sqlr('LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)', 6)}
-                       AS next_value
+                       AS next_value,
+                   {_sqlr('SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)', 4)}
+                       AS running_value
             FROM events
         """,
         "sessionize_events": """

@@ -329,3 +329,92 @@ def lead_col(
     return lag_col(
         ds, col, key, order_cols, out_col=out_col or f"{col}_lead", _desc=True
     )
+
+
+def cumsum_col(
+    ds: Dataset,
+    col: str,
+    key: str,
+    order_cols,
+    out_col: Optional[str] = None,
+) -> Dataset:
+    """Per-key running sum — SQL ``SUM(col) OVER (PARTITION BY key
+    ORDER BY ... ROWS UNBOUNDED PRECEDING)``. Same sorted-scan shape as
+    :func:`lag_col`; the boundary carry is the continuing key's
+    accumulated sum (one scalar per block, chained across consecutive
+    blocks that share a key)."""
+    import ray
+    import ray.data
+
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    out_col = out_col or f"{col}_cumsum"
+
+    sorted_ds = ds.sort([key] + order_cols)
+    lineage_ctx = sorted_ds.context
+    prev_order = lineage_ctx.execution_options.preserve_order
+    lineage_ctx.execution_options.preserve_order = True
+    try:
+        mat = sorted_ds.materialize()
+        refs = mat.to_arrow_refs()
+    finally:
+        lineage_ctx.execution_options.preserve_order = prev_order
+
+    @ray.remote(num_cpus=0.25)
+    def _meta(t: pa.Table):
+        """(first_key, sum over the FIRST key's rows, last_key,
+        sum over the LAST key's rows) — all scalars."""
+        if t.num_rows == 0:
+            return None
+        k = t[key].to_pandas()
+        v = t[col].to_pandas()
+        first_key, last_key = k.iloc[0], k.iloc[-1]
+        return (
+            first_key,
+            float(v[(k == first_key).to_numpy()].sum()),
+            last_key,
+            float(v[(k == last_key).to_numpy()].sum()),
+        )
+
+    metas = ray.get([_meta.remote(r) for r in refs])
+    # driver walk: offset for each block's FIRST key (only a key that
+    # continues from the previous non-empty block needs one)
+    offsets, prev_key, prev_cum = [], None, 0.0
+    for m in metas:
+        if m is None:
+            offsets.append(0.0)
+            continue
+        first_key, first_sum, last_key, last_sum = m
+        off = prev_cum if (prev_key is not None and first_key == prev_key) else 0.0
+        offsets.append(off)
+        prev_cum = (off + first_sum) if last_key == first_key else last_sum
+        prev_key = last_key
+
+    @ray.remote
+    def _assign(t: pa.Table, off: float) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.nulls(0, type=pa.float64()))
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        k = t[key].to_numpy(zero_copy_only=False)
+        run = np.cumsum(v)
+        new_key = np.zeros(len(k), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        # subtract the running total as of each key's start (forward-
+        # fill of the key-start index — NOT maximum.accumulate of the
+        # base values, which breaks when negative values make `run`
+        # non-monotone)
+        start_idx = np.maximum.accumulate(np.where(new_key, np.arange(len(k)), 0))
+        out = run - (run - v)[start_idx]
+        out[k == k[0]] += off
+        return t.append_column(
+            out_col, pa.array(out, type=pa.float64())
+        ).replace_schema_metadata(None)
+
+    out_refs = [_assign.remote(r, o) for r, o in zip(refs, offsets)]
+    from tenzir_ray.arrowutil import from_arrow_refs_retried
+
+    out = from_arrow_refs_retried(out_refs)
+    del mat
+    return out

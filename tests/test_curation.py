@@ -404,3 +404,29 @@ def test_lead_col():
     vals = out["v_lead"].tolist()
     assert vals[:2] == [7.0, 9.0]
     assert np.isnan(vals[2]) and np.isnan(vals[3])
+
+
+def test_cumsum_col_spanning_blocks():
+    from tenzir_ray.ops.window import cumsum_col
+
+    n = 300
+    rng = np.random.default_rng(9)
+    t = pa.table(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "k": rng.integers(0, 2, n),  # two hot keys span every block
+            "v": rng.normal(size=n),  # negatives exercise non-monotone runs
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(7)
+    out = (
+        cumsum_col(ds, "v", "k", ["id"], out_col="rs")
+        .to_pandas()
+        .sort_values(["k", "id"])
+        .reset_index(drop=True)
+    )
+    want = t.to_pandas().sort_values(["k", "id"]).reset_index(drop=True)
+    want["rs"] = want.groupby("k")["v"].cumsum()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(out, want, check_dtype=False, atol=1e-9)
