@@ -697,6 +697,9 @@ def _q_lag(sf_dir):
     from tenzir_ray.ops.window import cumsum_col
 
     out = cumsum_col(out, "value", "user_id", ["ts", "event_id"], out_col="running_value")
+    from tenzir_ray.ops.window import row_number_col
+
+    out = row_number_col(out, "user_id", ["ts", "event_id"], out_col="rn")
     out = _round_cols(out, ["value", "prev_value", "next_value"], 6)
     return _round_cols(out, ["running_value"], 4)
 
@@ -1604,7 +1607,9 @@ def oracle_sql() -> dict[str, str]:
                    {_sqlr('LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)', 6)}
                        AS next_value,
                    {_sqlr('SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)', 4)}
-                       AS running_value
+                       AS running_value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS rn
             FROM events
         """,
         "sessionize_events": """

@@ -418,3 +418,32 @@ def cumsum_col(
     out = from_arrow_refs_retried(out_refs)
     del mat
     return out
+
+
+def row_number_col(
+    ds: Dataset,
+    key: str,
+    order_cols,
+    out_col: str = "row_number",
+) -> Dataset:
+    """Per-key 1-based row number — SQL ``ROW_NUMBER() OVER (PARTITION
+    BY key ORDER BY ...)``: the running sum of ones, cast back to
+    int64 (ones are exactly representable, so the float accumulator is
+    lossless below 2^53 rows per key)."""
+    import pyarrow.compute as pc
+
+    ones = "__rn_ones"
+
+    def add_ones(t: pa.Table) -> pa.Table:
+        return t.append_column(ones, pa.array(np.ones(t.num_rows)))
+
+    withones = ds.map_batches(add_ones, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    summed = cumsum_col(withones, ones, key, order_cols, out_col="__rn_f")
+
+    def finish(t: pa.Table) -> pa.Table:
+        rn = pc.cast(pc.round(t["__rn_f"]), pa.int64())
+        return t.drop_columns([ones, "__rn_f"]).append_column(out_col, rn)
+
+    return summed.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)

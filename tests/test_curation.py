@@ -430,3 +430,27 @@ def test_cumsum_col_spanning_blocks():
     import pandas as pd
 
     pd.testing.assert_frame_equal(out, want, check_dtype=False, atol=1e-9)
+
+
+def test_row_number_col():
+    from tenzir_ray.ops.window import row_number_col
+
+    n = 100
+    rng = np.random.default_rng(4)
+    t = pa.table(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "k": rng.integers(0, 4, n),
+        }
+    )
+    out = (
+        row_number_col(ray.data.from_arrow(t).repartition(5), "k", ["id"], out_col="rn")
+        .to_pandas()
+        .sort_values(["k", "id"])
+        .reset_index(drop=True)
+    )
+    want = t.to_pandas().sort_values(["k", "id"]).reset_index(drop=True)
+    want["rn"] = want.groupby("k").cumcount() + 1
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
