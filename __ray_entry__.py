@@ -697,9 +697,11 @@ def _q_lag(sf_dir):
     from tenzir_ray.ops.window import cumsum_col
 
     out = cumsum_col(out, "value", "user_id", ["ts", "event_id"], out_col="running_value")
-    from tenzir_ray.ops.window import row_number_col
+    from tenzir_ray.ops.window import window_ranks
 
-    out = row_number_col(out, "user_id", ["ts", "event_id"], out_col="rn")
+    out = window_ranks(out, "user_id", ["ts", "event_id"], row_number="rn")
+    # rank/dense_rank ordered by ts ONLY so ties are actually exercised
+    out = window_ranks(out, "user_id", ["ts"], rank="rk", dense_rank="dr")
     out = _round_cols(out, ["value", "prev_value", "next_value"], 6)
     return _round_cols(out, ["running_value"], 4)
 
@@ -1609,7 +1611,9 @@ def oracle_sql() -> dict[str, str]:
                    {_sqlr('SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)', 4)}
                        AS running_value,
                    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       AS rn
+                       AS rn,
+                   RANK() OVER (PARTITION BY user_id ORDER BY ts) AS rk,
+                   DENSE_RANK() OVER (PARTITION BY user_id ORDER BY ts) AS dr
             FROM events
         """,
         "sessionize_events": """

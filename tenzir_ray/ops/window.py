@@ -20,6 +20,108 @@ from ray.data import Dataset
 
 _UNIT_NS = {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}
 
+# Sentinel for "no previous block seen yet" in the driver-side carry
+# walks. Distinct from a null partition key, which SQL treats as one
+# ordinary partition (all nulls group together).
+_NO_PREV = object()
+
+
+def _is_na(x) -> bool:
+    try:
+        return x is None or bool(pd.isna(x))
+    except (TypeError, ValueError):
+        return False
+
+
+def _null_eq(a, b) -> bool:
+    """SQL PARTITION BY equality: two nulls are the SAME partition."""
+    a_na, b_na = _is_na(a), _is_na(b)
+    if a_na or b_na:
+        return a_na and b_na
+    return bool(a == b)
+
+
+def _tuple_eq(a, b) -> bool:
+    return len(a) == len(b) and all(_null_eq(x, y) for x, y in zip(a, b))
+
+
+_ISN, _FILLED = "__wk_isnull", "__wk_filled"
+
+
+def _fill_scalar(typ: pa.DataType) -> pa.Scalar:
+    """An arbitrary valid scalar of ``typ`` (value is irrelevant — it
+    only stands in for nulls in the range partitioner, which never
+    compares it against a non-null row thanks to the isnull column)."""
+    try:
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            return pa.scalar("", type=typ)
+        if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+            return pa.scalar(b"", type=typ)
+        if pa.types.is_boolean(typ):
+            return pa.scalar(False, type=typ)
+        return pa.scalar(0, type=pa.int64()).cast(typ)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        raise TypeError(f"null-safe sort: unsupported partition key type {typ}")
+
+
+def _sorted_refs(ds: Dataset, key: str, order_cols, desc_order: bool = False):
+    """Distributed range-partition sort by (key, order_cols) whose
+    blocks are safe to scan with boundary carries, EVEN when the key
+    column contains nulls: Ray's range partitioner cannot compare a
+    null boundary, so a null key run would be split across partitions
+    with the secondary order broken. We sort on (key-is-null,
+    null-filled key, order...) instead — nulls form one contiguous,
+    correctly ordered run at the end (SQL NULLS LAST). Returns
+    ``(refs, materialized)``; blocks still carry the two helper
+    columns ``_ISN``/``_FILLED`` — consumers drop them."""
+    import pyarrow.compute as pc
+
+    def add_helpers(t: pa.Table) -> pa.Table:
+        kc = t[key]
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        try:
+            mask = pc.is_null(kc, nan_is_null=True)
+        except (TypeError, pa.ArrowNotImplementedError):
+            mask = pc.is_null(kc)
+        t = t.append_column(_ISN, pc.cast(mask, pa.int8()))
+        return t.append_column(_FILLED, pc.if_else(mask, _fill_scalar(kc.type), kc))
+
+    withh = ds.map_batches(
+        add_helpers, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    order_cols = list(order_cols)
+    sorted_ds = withh.sort(
+        [_ISN, _FILLED] + order_cols,
+        descending=[False, False] + [desc_order] * len(order_cols),
+    )
+    # Every Dataset snapshots its own DataContext (``ds.context`` is the
+    # per-plan copy, not the process-global singleton), so flipping
+    # preserve_order here affects ONLY this pipeline.
+    lineage_ctx = sorted_ds.context
+    prev_order = lineage_ctx.execution_options.preserve_order
+    lineage_ctx.execution_options.preserve_order = True
+    try:
+        mat = sorted_ds.materialize()
+        refs = mat.to_arrow_refs()
+    finally:
+        lineage_ctx.execution_options.preserve_order = prev_order
+    return refs, mat
+
+
+def _new_key_mask(k: np.ndarray) -> np.ndarray:
+    """True where row i starts a new key run in a key-sorted array;
+    consecutive nulls (None/NaN/NaT) count as the SAME key."""
+    n = len(k)
+    mask = np.ones(n, dtype=bool)
+    if n > 1:
+        isna = pd.isna(k)
+        both_na = isna[1:] & isna[:-1]
+        with np.errstate(invalid="ignore"):
+            neq = k[1:] != k[:-1]
+        mask[1:] = (np.asarray(neq, dtype=bool) & ~both_na) | (isna[1:] ^ isna[:-1])
+    return mask
+
 
 def sessionize(
     ds: Dataset,
@@ -27,16 +129,29 @@ def sessionize(
     ts_col: str,
     gap: str = "30min",
     out_col: str = "session_id",
+    small: bool = False,
 ) -> Dataset:
     """Gap-based sessions per key: a new session starts when the time
     since the previous event of the SAME key exceeds ``gap``.
     ``session_id`` numbers sessions per key from 0 in time order.
+
+    DEFAULT execution is the distributed sorted-scan path
+    (:func:`sessionize_sorted`): a hot key never becomes one giant
+    single-task pandas group. Pass ``small=True`` for the
+    ``groupby().map_groups`` path (fine when every key's events fit
+    one task comfortably).
 
     SQL-oracle equivalent (DuckDB)::
 
         SUM(CASE WHEN ts - lag(ts) OVER w > INTERVAL ... THEN 1 ELSE 0 END)
             OVER w  -- w = (PARTITION BY key ORDER BY ts, tiebreak)
     """
+    if not small:
+        names = ds.schema().names
+        tiebreak = "event_id" if "event_id" in names else None
+        return sessionize_sorted(
+            ds, key, ts_col, gap=gap, out_col=out_col, tiebreak=tiebreak
+        )
     gap_td = pd.Timedelta(gap)
 
     def window(g: pd.DataFrame) -> pd.DataFrame:
@@ -142,28 +257,14 @@ def sessionize_sorted(
     import ray
 
     gap_td = pd.Timedelta(gap)
-    sort_keys = [key, ts_col] + ([tiebreak] if tiebreak else [])
-
-    # Every Dataset snapshots its own DataContext (``ds.context`` is the
-    # per-plan copy, not the process-global singleton), so flipping
-    # preserve_order here affects ONLY this pipeline — concurrent
-    # datasets on the same driver keep their own setting.
-    sorted_ds = ds.sort(sort_keys)
-    lineage_ctx = sorted_ds.context  # shared with the caller's ``ds`` lineage only
-    prev_order = lineage_ctx.execution_options.preserve_order
-    lineage_ctx.execution_options.preserve_order = True
-    try:
-        mat = sorted_ds.materialize()
-        refs = mat.to_arrow_refs()
-    finally:
-        lineage_ctx.execution_options.preserve_order = prev_order
+    refs, mat = _sorted_refs(ds, key, [ts_col] + ([tiebreak] if tiebreak else []))
 
     def _flags(df: pd.DataFrame):
         """new-session flag per row of a sorted frame (block-local:
         row 0 always starts a session)."""
-        new_key = df[key].ne(df[key].shift())
-        big_gap = (df[ts_col].diff() > gap_td).fillna(False)
-        flags = (new_key | big_gap).to_numpy()
+        new_key = _new_key_mask(df[key].to_numpy())
+        big_gap = (df[ts_col].diff() > gap_td).fillna(False).to_numpy()
+        flags = new_key | big_gap
         flags[0] = True
         return flags
 
@@ -173,15 +274,15 @@ def sessionize_sorted(
             return None
         df = t.select([key, ts_col]).to_pandas()
         flags = _flags(df)
-        first_key, last_key = df[key].iloc[0], df[key].iloc[-1]
-        first_mask = (df[key] == first_key).to_numpy()
+        nk_idx = np.flatnonzero(_new_key_mask(df[key].to_numpy()))
+        n_first = nk_idx[1] if len(nk_idx) > 1 else len(df)
         return {
-            "first_key": first_key,
+            "first_key": df[key].iloc[0],
             "first_ts": df[ts_col].iloc[0],
-            "last_key": last_key,
+            "last_key": df[key].iloc[-1],
             "last_ts": df[ts_col].iloc[-1],
-            "sessions_first": int(flags[first_mask].sum()),
-            "sessions_last": int(flags[(df[key] == last_key).to_numpy()].sum()),
+            "sessions_first": int(flags[:n_first].sum()),
+            "sessions_last": int(flags[nk_idx[-1]:].sum()),
         }
 
     metas = ray.get([_meta.remote(r) for r in refs])
@@ -189,19 +290,19 @@ def sessionize_sorted(
     # driver walk: per block, the session-id offset for its FIRST key
     # (every other key starts inside the block and needs none)
     offsets = []
-    prev_key = prev_ts = None
+    prev_key, prev_ts = _NO_PREV, None
     prev_cum = 0
     for m in metas:
         if m is None:
             offsets.append(0)
             continue
-        if prev_key is not None and m["first_key"] == prev_key:
+        if prev_key is not _NO_PREV and _null_eq(m["first_key"], prev_key):
             merged = (m["first_ts"] - prev_ts) <= gap_td
             off = prev_cum - 1 if merged else prev_cum
         else:
             off = 0
         offsets.append(off)
-        if m["last_key"] == m["first_key"]:
+        if _null_eq(m["last_key"], m["first_key"]):
             prev_cum = off + m["sessions_first"]
         else:
             prev_cum = m["sessions_last"]
@@ -209,6 +310,7 @@ def sessionize_sorted(
 
     @ray.remote
     def _assign(t: pa.Table, off: int) -> pa.Table:
+        t = t.drop_columns([_ISN, _FILLED])
         if t.num_rows == 0:
             return t.append_column(out_col, pa.array([], type=pa.int64()))
         df = t.to_pandas()
@@ -217,11 +319,12 @@ def sessionize_sorted(
         # key's first cumulative value
         starts = np.cumsum(flags)
         key_vals = df[key].to_numpy()
-        new_key = np.ones(len(df), dtype=bool)
-        new_key[1:] = key_vals[1:] != key_vals[:-1]
+        new_key = _new_key_mask(key_vals)
         key_base = np.maximum.accumulate(np.where(new_key, starts - 1, 0))
         sid = starts - 1 - key_base
-        sid[key_vals == key_vals[0]] += off
+        nk_idx = np.flatnonzero(new_key)
+        n_first = nk_idx[1] if len(nk_idx) > 1 else len(df)
+        sid[:n_first] += off
         df[out_col] = sid.astype(np.int64)
         # strip the pandas schema-metadata blob: schemas WITH metadata are
         # unhashable in pyarrow, defeating Ray Data's schema dedup
@@ -257,15 +360,7 @@ def lag_col(
     order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
     out_col = out_col or f"{col}_lag"
 
-    sorted_ds = ds.sort([key] + order_cols, descending=[False] + [_desc] * len(order_cols))
-    lineage_ctx = sorted_ds.context
-    prev_order = lineage_ctx.execution_options.preserve_order
-    lineage_ctx.execution_options.preserve_order = True
-    try:
-        mat = sorted_ds.materialize()
-        refs = mat.to_arrow_refs()
-    finally:
-        lineage_ctx.execution_options.preserve_order = prev_order
+    refs, mat = _sorted_refs(ds, key, order_cols, desc_order=_desc)
 
     @ray.remote(num_cpus=0.25)
     def _last_row(t: pa.Table):
@@ -284,6 +379,7 @@ def lag_col(
 
     @ray.remote
     def _assign(t: pa.Table, carry) -> pa.Table:
+        t = t.drop_columns([_ISN, _FILLED])
         val = t[col]
         if isinstance(val, pa.ChunkedArray):
             val = val.combine_chunks()
@@ -295,10 +391,9 @@ def lag_col(
         kv = t[key]
         if isinstance(kv, pa.ChunkedArray):
             kv = kv.combine_chunks()
-        same_key = np.zeros(t.num_rows, dtype=bool)
         k_np = kv.to_numpy(zero_copy_only=False)
-        same_key[1:] = k_np[1:] == k_np[:-1]
-        if carry is not None and carry[0] == k_np[0]:
+        same_key = ~_new_key_mask(k_np)
+        if carry is not None and _null_eq(carry[0], k_np[0]):
             shifted = pa.concat_arrays(
                 [pa.array([carry[1]], type=val.type), shifted.slice(1)]
             )
@@ -341,78 +436,254 @@ def cumsum_col(
     """Per-key running sum — SQL ``SUM(col) OVER (PARTITION BY key
     ORDER BY ... ROWS UNBOUNDED PRECEDING)``. Same sorted-scan shape as
     :func:`lag_col`; the boundary carry is the continuing key's
-    accumulated sum (one scalar per block, chained across consecutive
-    blocks that share a key)."""
+    accumulated (sum, non-null count) pair (two scalars per block,
+    chained across consecutive blocks that share a key).
+
+    Null semantics match SQL SUM OVER: null values are skipped (they
+    do not poison later rows), and a row's running sum is NULL until
+    its partition has seen at least one non-null value."""
     import ray
     import ray.data
 
     order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
     out_col = out_col or f"{col}_cumsum"
 
-    sorted_ds = ds.sort([key] + order_cols)
-    lineage_ctx = sorted_ds.context
-    prev_order = lineage_ctx.execution_options.preserve_order
-    lineage_ctx.execution_options.preserve_order = True
-    try:
-        mat = sorted_ds.materialize()
-        refs = mat.to_arrow_refs()
-    finally:
-        lineage_ctx.execution_options.preserve_order = prev_order
+    refs, mat = _sorted_refs(ds, key, order_cols)
 
     @ray.remote(num_cpus=0.25)
     def _meta(t: pa.Table):
-        """(first_key, sum over the FIRST key's rows, last_key,
-        sum over the LAST key's rows) — all scalars."""
+        """(first_key, first-key (sum, non-null count), last_key,
+        last-key (sum, non-null count)) — all scalars. Sums skip nulls
+        (pandas .sum), counts count non-nulls, matching _assign's
+        masked cumsum so block offsets and in-block values agree."""
         if t.num_rows == 0:
             return None
-        k = t[key].to_pandas()
+        k = t[key].to_pandas().to_numpy()
         v = t[col].to_pandas()
-        first_key, last_key = k.iloc[0], k.iloc[-1]
+        nk_idx = np.flatnonzero(_new_key_mask(k))
+        n_first = nk_idx[1] if len(nk_idx) > 1 else len(k)
+        first, last = v.iloc[:n_first], v.iloc[nk_idx[-1]:]
         return (
-            first_key,
-            float(v[(k == first_key).to_numpy()].sum()),
-            last_key,
-            float(v[(k == last_key).to_numpy()].sum()),
+            k[0],
+            (float(first.sum()), int(first.notna().sum())),
+            k[-1],
+            (float(last.sum()), int(last.notna().sum())),
         )
 
     metas = ray.get([_meta.remote(r) for r in refs])
-    # driver walk: offset for each block's FIRST key (only a key that
-    # continues from the previous non-empty block needs one)
-    offsets, prev_key, prev_cum = [], None, 0.0
+    # driver walk: (sum, count) offset for each block's FIRST key (only
+    # a key continuing from the previous non-empty block needs one)
+    offsets, prev_key, prev_cum = [], _NO_PREV, (0.0, 0)
     for m in metas:
         if m is None:
-            offsets.append(0.0)
+            offsets.append((0.0, 0))
             continue
-        first_key, first_sum, last_key, last_sum = m
-        off = prev_cum if (prev_key is not None and first_key == prev_key) else 0.0
+        first_key, first_sc, last_key, last_sc = m
+        if prev_key is not _NO_PREV and _null_eq(first_key, prev_key):
+            off = prev_cum
+        else:
+            off = (0.0, 0)
         offsets.append(off)
-        prev_cum = (off + first_sum) if last_key == first_key else last_sum
+        if _null_eq(last_key, first_key):
+            prev_cum = (off[0] + first_sc[0], off[1] + first_sc[1])
+        else:
+            prev_cum = last_sc
         prev_key = last_key
 
     @ray.remote
-    def _assign(t: pa.Table, off: float) -> pa.Table:
-        import pyarrow.compute as pc
-
+    def _assign(t: pa.Table, off) -> pa.Table:
+        t = t.drop_columns([_ISN, _FILLED])
         if t.num_rows == 0:
             return t.append_column(out_col, pa.nulls(0, type=pa.float64()))
-        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        off_sum, off_cnt = off
+        v_raw = t[col].to_pandas()
+        valid = v_raw.notna().to_numpy()
+        v = np.where(valid, v_raw.to_numpy(dtype=np.float64, na_value=0.0), 0.0)
         k = t[key].to_numpy(zero_copy_only=False)
         run = np.cumsum(v)
-        new_key = np.zeros(len(k), dtype=bool)
-        new_key[0] = True
-        new_key[1:] = k[1:] != k[:-1]
+        cnt = np.cumsum(valid)
+        new_key = _new_key_mask(k)
         # subtract the running total as of each key's start (forward-
         # fill of the key-start index — NOT maximum.accumulate of the
         # base values, which breaks when negative values make `run`
         # non-monotone)
         start_idx = np.maximum.accumulate(np.where(new_key, np.arange(len(k)), 0))
         out = run - (run - v)[start_idx]
-        out[k == k[0]] += off
+        cnt_key = cnt - (cnt - valid)[start_idx]
+        nk_idx = np.flatnonzero(new_key)
+        n_first = nk_idx[1] if len(nk_idx) > 1 else len(k)
+        out[:n_first] += off_sum
+        cnt_key[:n_first] += off_cnt
+        # SQL SUM OVER is NULL until the partition's first non-null
         return t.append_column(
-            out_col, pa.array(out, type=pa.float64())
+            out_col, pa.array(out, type=pa.float64(), mask=(cnt_key == 0))
         ).replace_schema_metadata(None)
 
     out_refs = [_assign.remote(r, o) for r, o in zip(refs, offsets)]
+    from tenzir_ray.arrowutil import from_arrow_refs_retried
+
+    out = from_arrow_refs_retried(out_refs)
+    del mat
+    return out
+
+
+def _order_change_mask(arrays) -> np.ndarray:
+    """True where ANY order column differs from the previous row in a
+    sorted block (nulls compare equal to nulls, SQL ORDER BY style).
+    Row 0 is always True (it starts the block's first tie group)."""
+    n = len(arrays[0])
+    change = np.ones(n, dtype=bool)
+    if n > 1:
+        change[1:] = False
+        for arr in arrays:
+            isna = pd.isna(arr)
+            both_na = isna[1:] & isna[:-1]
+            with np.errstate(invalid="ignore"):
+                neq = arr[1:] != arr[:-1]
+            change[1:] |= (np.asarray(neq, dtype=bool) & ~both_na) | (
+                isna[1:] ^ isna[:-1]
+            )
+    return change
+
+
+def window_ranks(
+    ds: Dataset,
+    key: str,
+    order_cols,
+    row_number: Optional[str] = None,
+    rank: Optional[str] = None,
+    dense_rank: Optional[str] = None,
+) -> Dataset:
+    """ROW_NUMBER / RANK / DENSE_RANK ``OVER (PARTITION BY key ORDER BY
+    order_cols)`` in ONE distributed sorted scan (native int64 — no
+    float accumulator). Pass an output column name for each ranking
+    you want; all three share the same sort so asking for several is
+    free.
+
+    Shape: range-partition sort by (key, order), vectorized in-block
+    tie-group detection, and a driver walk over O(blocks) scalar metas
+    — the carry for a key continuing across a block boundary is
+    (rows-so-far, last rank, last dense rank, last order tuple)."""
+    import ray
+
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    outs = {"rn": row_number, "rk": rank, "dr": dense_rank}
+    if not any(outs.values()):
+        raise ValueError("window_ranks: request at least one output column")
+
+    refs, mat = _sorted_refs(ds, key, order_cols)
+
+    def _local(k: np.ndarray, order_arrs):
+        """Block-local (row_number, rank, dense_rank), all 1-based
+        within each key run, plus the masks needed for carries."""
+        n = len(k)
+        idx = np.arange(n, dtype=np.int64)
+        nk = _new_key_mask(k)
+        gs = nk | _order_change_mask(order_arrs)
+        key_start = np.maximum.accumulate(np.where(nk, idx, 0))
+        grp_start = np.maximum.accumulate(np.where(gs, idx, 0))
+        rn = idx - key_start + 1
+        rk = grp_start - key_start + 1
+        gs_cum = np.cumsum(gs)
+        dr = gs_cum - gs_cum[key_start] + 1
+        return nk, gs, rn, rk, dr
+
+    @ray.remote(num_cpus=0.25)
+    def _meta(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        k = t[key].to_numpy(zero_copy_only=False)
+        order_arrs = [t[c].to_numpy(zero_copy_only=False) for c in order_cols]
+        nk, gs, rn, rk, dr = _local(k, order_arrs)
+        nk_idx = np.flatnonzero(nk)
+        n_first = int(nk_idx[1]) if len(nk_idx) > 1 else len(k)
+        first_tuple = tuple(a[0] for a in order_arrs)
+        last_tuple = tuple(a[-1] for a in order_arrs)
+        return {
+            "first_key": k[0],
+            "first_tuple": first_tuple,
+            "last_key": k[-1],
+            "last_tuple": last_tuple,
+            "n_first": n_first,
+            "n_last": len(k) - int(nk_idx[-1]),
+            "one_key": len(nk_idx) == 1,
+            "last_rn": int(rn[-1]),
+            "last_rk": int(rk[-1]),
+            "last_dr": int(dr[-1]),
+        }
+
+    metas = ray.get([_meta.remote(r) for r in refs])
+
+    # driver walk: per block, the offsets for its FIRST key run.
+    # Carry = (key, order tuple, rows so far, rank of last row, dense
+    # rank of last row) for the key that may continue into block i.
+    plans = []  # (row_off, rank_off, dense_off, override rank/dense or None)
+    carry = _NO_PREV
+    for m in metas:
+        if m is None:
+            plans.append((0, 0, 0, None))
+            continue
+        if carry is not _NO_PREV and _null_eq(m["first_key"], carry[0]):
+            c_key, c_tuple, c_n, c_rk, c_dr = carry
+            ties = _tuple_eq(m["first_tuple"], c_tuple)
+            plan = (
+                c_n,                      # row_number offset
+                c_n,                      # rank offset for later tie groups
+                c_dr - 1 if ties else c_dr,  # dense offset
+                (c_rk, c_dr) if ties else None,  # first tie group override
+            )
+        else:
+            plan = (0, 0, 0, None)
+        plans.append(plan)
+        row_off, rank_off, dense_off, override = plan
+        if m["one_key"]:
+            n_total = row_off + m["n_first"]
+            if override is not None and m["last_dr"] == 1:
+                # whole block is one tie group continuing the carry
+                new_rk, new_dr = override
+            else:
+                new_rk = m["last_rk"] + rank_off
+                new_dr = m["last_dr"] + dense_off
+            carry = (m["last_key"], m["last_tuple"], n_total, new_rk, new_dr)
+        else:
+            carry = (
+                m["last_key"], m["last_tuple"], m["n_last"],
+                m["last_rk"], m["last_dr"],
+            )
+
+    @ray.remote
+    def _assign(t: pa.Table, plan) -> pa.Table:
+        t = t.drop_columns([_ISN, _FILLED])
+        if t.num_rows == 0:
+            for name in outs.values():
+                if name:
+                    t = t.append_column(name, pa.array([], type=pa.int64()))
+            return t
+        row_off, rank_off, dense_off, override = plan
+        k = t[key].to_numpy(zero_copy_only=False)
+        order_arrs = [t[c].to_numpy(zero_copy_only=False) for c in order_cols]
+        nk, gs, rn, rk, dr = _local(k, order_arrs)
+        nk_idx = np.flatnonzero(nk)
+        n_first = int(nk_idx[1]) if len(nk_idx) > 1 else len(k)
+        rn[:n_first] += row_off
+        rk_adj = rk.copy()
+        dr_adj = dr.copy()
+        rk_adj[:n_first] += rank_off
+        dr_adj[:n_first] += dense_off
+        if override is not None:
+            # rows of the first tie group continue the carried group
+            gs_idx = np.flatnonzero(gs)
+            g1 = int(gs_idx[1]) if len(gs_idx) > 1 else len(k)
+            g1 = min(g1, n_first)
+            rk_adj[:g1] = override[0]
+            dr_adj[:g1] = override[1]
+        vals = {"rn": rn, "rk": rk_adj, "dr": dr_adj}
+        for which, name in outs.items():
+            if name:
+                t = t.append_column(name, pa.array(vals[which], type=pa.int64()))
+        return t.replace_schema_metadata(None)
+
+    out_refs = [_assign.remote(r, p) for r, p in zip(refs, plans)]
     from tenzir_ray.arrowutil import from_arrow_refs_retried
 
     out = from_arrow_refs_retried(out_refs)
@@ -427,23 +698,17 @@ def row_number_col(
     out_col: str = "row_number",
 ) -> Dataset:
     """Per-key 1-based row number — SQL ``ROW_NUMBER() OVER (PARTITION
-    BY key ORDER BY ...)``: the running sum of ones, cast back to
-    int64 (ones are exactly representable, so the float accumulator is
-    lossless below 2^53 rows per key)."""
-    import pyarrow.compute as pc
+    BY key ORDER BY ...)`` via :func:`window_ranks` (int64 throughout)."""
+    return window_ranks(ds, key, order_cols, row_number=out_col)
 
-    ones = "__rn_ones"
 
-    def add_ones(t: pa.Table) -> pa.Table:
-        return t.append_column(ones, pa.array(np.ones(t.num_rows)))
+def rank_col(ds: Dataset, key: str, order_cols, out_col: str = "rank") -> Dataset:
+    """SQL ``RANK() OVER (PARTITION BY key ORDER BY ...)``."""
+    return window_ranks(ds, key, order_cols, rank=out_col)
 
-    withones = ds.map_batches(add_ones, batch_format="pyarrow",
-                              zero_copy_batch=True, batch_size=None)
-    summed = cumsum_col(withones, ones, key, order_cols, out_col="__rn_f")
 
-    def finish(t: pa.Table) -> pa.Table:
-        rn = pc.cast(pc.round(t["__rn_f"]), pa.int64())
-        return t.drop_columns([ones, "__rn_f"]).append_column(out_col, rn)
-
-    return summed.map_batches(finish, batch_format="pyarrow",
-                              zero_copy_batch=True, batch_size=None)
+def dense_rank_col(
+    ds: Dataset, key: str, order_cols, out_col: str = "dense_rank"
+) -> Dataset:
+    """SQL ``DENSE_RANK() OVER (PARTITION BY key ORDER BY ...)``."""
+    return window_ranks(ds, key, order_cols, dense_rank=out_col)

@@ -336,7 +336,7 @@ def test_sessionize_sorted_matches_groupby_on_skew(ray_session):
     )
     ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(13)
     a = (
-        sessionize(ds, "user_id", "ts", gap="1h")
+        sessionize(ds, "user_id", "ts", gap="1h", small=True)
         .to_pandas()
         .sort_values("event_id")
         .reset_index(drop=True)
