@@ -386,6 +386,11 @@ def _as_mask(value, num_rows: int):
     return pa.array([bool(value)] * num_rows)
 
 
+# argument positions (0-based) that must be integer LITERALS because
+# the kernel closes over int(arg) rather than broadcasting a column
+_INT_LITERAL_ARGS = {"substr": (1, 2), "round": (1,)}
+
+
 def _validate(node: Node) -> None:
     """Driver-side sanity checks so malformed expressions fail at
     compile time, not inside remote workers."""
@@ -417,6 +422,18 @@ def _validate(node: Node) -> None:
                 + (f"..{hi}" if hi != lo else "")
                 + f" args, got {len(node.args)}"
             )
+        # substr's start/length and round's ndigits kernels call int()
+        # on the evaluated value — a column there would raise an opaque
+        # TypeError per batch at run time; demand integer literals here
+        for pos in _INT_LITERAL_ARGS.get(node.name, ()):
+            if pos < len(node.args):
+                a = node.args[pos]
+                if not (isinstance(a, Literal) and isinstance(a.value, int)
+                        and not isinstance(a.value, bool)):
+                    raise ValueError(
+                        f"{node.name}: argument {pos + 1} must be an integer "
+                        f"literal (column-valued arguments are not supported)"
+                    )
         for a in node.args:
             _validate(a)
 

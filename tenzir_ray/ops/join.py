@@ -221,6 +221,15 @@ def asof_shuffle_join(
         # e.on <= r.on  <=>  -e.on >= -r.on (exact matches preserved).
         # Temporal columns ride as negated int64 and cast back after.
         typ = _arrow_schema(left).field(on).type
+        r_typ = _arrow_schema(right).field(on).type
+        if r_typ != typ:
+            # a unit mismatch (ns vs us) would negate both sides to raw
+            # int64 and compare in mixed units SILENTLY — fail loudly,
+            # matching the backward path's schema check at the union
+            raise TypeError(
+                f"asof_shuffle_join forward: on-column type mismatch: "
+                f"left {on!r} is {typ}, right is {r_typ} — cast one side first"
+            )
 
         def neg(t: pa.Table) -> pa.Table:
             col = t[on]

@@ -216,9 +216,11 @@ def _compile_stage(stage: str) -> Callable[[Dataset], Dataset]:
         return _hop
     if op == "asof-join":
         # asof-join <parquet_path> on <ts> [by <key>] [--shuffle] [--forward]
-        flags = {f for f in ("--shuffle", "--forward") if f" {f}" in f" {rest} "}
-        for f in flags:
-            rest = rest.replace(f" {f}", "").rstrip()
+        # tokenize — substring matching would hit inside longer tokens
+        # (e.g. a path containing "--shuffled") and corrupt the path
+        toks = rest.split()
+        flags = {f for f in ("--shuffle", "--forward") if f in toks}
+        rest = " ".join(t for t in toks if t not in flags)
         m = re.match(r"(\S+)\s+on\s+(\S+)(?:\s+by\s+(\S+))?$", rest)
         if not m:
             raise ValueError(

@@ -99,3 +99,16 @@ def test_scalar_function_calls():
         compile_scalar("frobnicate(x)")
     with pytest.raises(ValueError, match="takes"):
         compile_scalar("upper(name, x)")
+
+
+def test_int_literal_args_validated_at_compile_time():
+    # ADVICE r4: substr/round kernels int() their args — a column there
+    # must fail at compile time with a clear message, not per batch
+    from tenzir_ray.expr import compile_scalar
+
+    with pytest.raises(ValueError, match="integer literal"):
+        compile_scalar("substr(name, x, 2)")
+    with pytest.raises(ValueError, match="integer literal"):
+        compile_scalar("round(x, x)")
+    with pytest.raises(ValueError, match="integer literal"):
+        compile_scalar("substr(name, 1.5)")

@@ -329,3 +329,20 @@ def test_asof_shuffle_join_forward(ray_session):
     assert np.isnan(out["v"].tolist()[2]) and np.isnan(out["v"].tolist()[3])
     # on-axis restored to real timestamps
     assert out["ts"].iloc[0] == pd.Timestamp("2024-01-01 00:00")
+
+
+def test_asof_forward_type_mismatch_fails_loudly(ray_session):
+    # ADVICE r4: ns-vs-us on-columns must not silently compare in mixed
+    # units on the negated forward path
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from tenzir_ray.ops.join import asof_shuffle_join
+
+    left = ray.data.from_arrow(pa.table(
+        {"k": [1], "ts": pa.array([1000], type=pa.timestamp("us"))}))
+    right = ray.data.from_arrow(pa.table(
+        {"k": [1], "ts": pa.array([2000], type=pa.timestamp("ns")), "v": [5]}))
+    with pytest.raises(TypeError, match="type mismatch"):
+        asof_shuffle_join(left, right, on="ts", by="k", direction="forward")
