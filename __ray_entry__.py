@@ -1011,6 +1011,36 @@ def _q_pseudonymize(sf_dir):
     return pseudonymize(ds.map_batches(add_ip, **_PYARROW), ["ip"], seed="bench", concurrency=1)
 
 
+def _q_subnet_filter(sf_dir):
+    """ip/subnet domain types + the :ip type extractor through TQL
+    (reference expression.hpp:86 type extractors, type.hpp:703,795
+    ip/subnet domains): deterministic IPv4 strings synthesized from
+    event_id (vectorized numpy octets + arrow string join), then
+    ``where :ip in 10.64.0.0/10 || src_ip == 9.0.0.0`` — a non-/8
+    prefix so real mask arithmetic is exercised."""
+    import numpy as np
+
+    from tenzir_ray import tql
+
+    ds = read_parquet(_t(sf_dir, "events"), columns=["event_id", "event_type"])
+
+    def add_ip(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        o1, o2 = 9 + eid % 3, (eid // 3) % 256
+        o3, o4 = (eid // 768) % 256, (eid * 7) % 256
+        parts = [pc.cast(pa.array(o), pa.string()) for o in (o1, o2, o3, o4)]
+        ip = pc.binary_join_element_wise(*parts, ".")
+        return t.append_column("src_ip", ip)
+
+    ds = ds.map_batches(add_ip, **_PYARROW)
+    return tql.run(
+        "where :ip in 10.64.0.0/10 || src_ip == 9.0.0.0 "
+        "| summarize n=count(.), min_id=min(event_id), max_id=max(event_id) "
+        "by event_type | sort event_type",
+        ds,
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1087,6 +1117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tql_sessionize_hot": _q_tql_sessionize_hot,
         "tql_lww_latest": _q_tql_lww,
         "tql_dedup_exact": _q_tql_dedup_exact,
+        "tql_subnet_filter": _q_subnet_filter,
         "tql_median_quantile": _q_tql_median_quantile,
         "tql_scalar_functions": _q_tql_functions,
     }
@@ -1793,6 +1824,25 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                                  > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_s
                 FROM events)
+        """,
+        "tql_subnet_filter": """
+            WITH w AS (
+                SELECT event_id, event_type,
+                       CAST(9 + event_id % 3 AS VARCHAR) || '.' ||
+                       CAST((event_id // 3) % 256 AS VARCHAR) || '.' ||
+                       CAST((event_id // 768) % 256 AS VARCHAR) || '.' ||
+                       CAST((event_id * 7) % 256 AS VARCHAR) AS src_ip
+                FROM events)
+            SELECT event_type, count(*) AS n,
+                   min(event_id) AS min_id, max(event_id) AS max_id
+            FROM w
+            WHERE (CAST(split_part(src_ip, '.', 1) AS BIGINT) * 16777216
+                 + CAST(split_part(src_ip, '.', 2) AS BIGINT) * 65536
+                 + CAST(split_part(src_ip, '.', 3) AS BIGINT) * 256
+                 + CAST(split_part(src_ip, '.', 4) AS BIGINT))
+                  BETWEEN 171966464 AND 176160767  -- 10.64.0.0/10
+               OR src_ip = '9.0.0.0'
+            GROUP BY event_type ORDER BY event_type
         """,
         "tql_dedup_exact": """
             SELECT doc_id, text, n_chars FROM documents

@@ -18,6 +18,13 @@ Supported surface (TQL-flavored)::
     arithmetic: + - * / %  (scalar expressions, e.g. put/extend RHS)
     literals: ints, floats, "strings", true/false/null, [lists]
     dotted field paths resolve into nested structs (a.b.c)
+    ip/subnet domain: src_ip in 10.0.0.0/8, ip == 192.168.1.1, ::1
+      (string-carried columns, reference type.hpp:703,795)
+    type extractors: :ip == 1.2.3.4, :string matches "x" — the
+      predicate fans out over every field of that type in the batch
+      (reference expression.hpp:86)
+    meta extractors: #schema == "zeek.conn", #import_time > ... —
+      reserved columns _schema/_import_time (expression.hpp:37)
 
 Relational operators mirror ``libtenzir/include/tenzir/operator.hpp:44-55``
 (in/not_in/equal/not_equal/less/.../greater_equal).
@@ -60,6 +67,32 @@ class Call:
 
 
 @dataclass(frozen=True)
+class TypeExtractor:
+    """``:ip == 1.2.3.4`` — the predicate applies to EVERY field of
+    the given domain type in the batch's schema (disjunction).
+    Reference: ``expression.hpp:86`` (type_extractor), tailored per
+    schema at evaluation; here resolved per Arrow batch schema."""
+
+    name: str
+
+    def __repr__(self):
+        return f":{self.name}"
+
+
+@dataclass(frozen=True)
+class MetaExtractor:
+    """``#schema`` / ``#import_time`` — event metadata, not payload.
+    Reference: ``expression.hpp:37`` (meta_extractor). Carried here as
+    reserved columns (``_schema`` from the selector-routing parsers,
+    ``_import_time`` stamped by the lake)."""
+
+    name: str
+
+    def __repr__(self):
+        return f"#{self.name}"
+
+
+@dataclass(frozen=True)
 class Cmp:
     op: str  # ==, !=, <, <=, >, >=, in, not_in
     lhs: Any
@@ -88,15 +121,32 @@ class Arith:
     rhs: Any
 
 
-Node = Union[Field, Literal, Cmp, And, Or, Not, Arith]
+Node = Union[Field, Literal, Cmp, And, Or, Not, Arith, TypeExtractor, MetaExtractor]
+
+# meta extractor name -> reserved carrier column
+_META_COLUMNS = {
+    "schema": "_schema",
+    "schema_id": "_schema_id",
+    "import_time": "_import_time",
+}
 
 # ---------------------------------------------------------------------------
 # Tokenizer / recursive-descent parser
 # ---------------------------------------------------------------------------
 
+# subnet/ip literal fragments (reference type.hpp:703,795 — ip and
+# subnet are first-class literal domains in TQL expressions). Ordered
+# BEFORE num so `10.0.0.0/8` never half-tokenizes as a float + divide.
+_V4 = r"(?:\d{1,3}\.){3}\d{1,3}"
+_V6 = r"(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}|[0-9A-Fa-f:]*::[0-9A-Fa-f:.]*"
+
 _TOKEN_RE = re.compile(
-    r"""\s*(?:
-        (?P<num>-?\d+\.\d+(?:[eE][+-]?\d+)?|-?\d+)
+    rf"""\s*(?:
+        (?P<subnet>(?:{_V4}|{_V6})/\d{{1,3}})
+      | (?P<ip>{_V4}|{_V6})
+      | (?P<typex>:[A-Za-z_][A-Za-z0-9_]*)
+      | (?P<metax>\#[A-Za-z_][A-Za-z0-9_]*)
+      | (?P<num>-?\d+\.\d+(?:[eE][+-]?\d+)?|-?\d+)
       | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
       | (?P<op>==|!=|<=|>=|&&|\|\||not\s+in\b|in\b|matches\b|[()<>!+\-*/%,\[\]])
       | (?P<kw>true\b|false\b|null\b)
@@ -107,6 +157,8 @@ _TOKEN_RE = re.compile(
 
 
 def _tokenize(text: str):
+    import ipaddress
+
     pos, out = 0, []
     while pos < len(text):
         m = _TOKEN_RE.match(text, pos)
@@ -115,7 +167,21 @@ def _tokenize(text: str):
                 break
             raise ValueError(f"cannot tokenize expression at: {text[pos:]!r}")
         pos = m.end()
-        if m.lastgroup == "num":
+        if m.lastgroup == "subnet":
+            try:
+                out.append(("lit", ipaddress.ip_network(m.group("subnet"), strict=False)))
+            except ValueError as e:
+                raise ValueError(f"invalid subnet literal {m.group('subnet')!r}: {e}")
+        elif m.lastgroup == "ip":
+            try:
+                out.append(("lit", ipaddress.ip_address(m.group("ip"))))
+            except ValueError as e:
+                raise ValueError(f"invalid IP literal {m.group('ip')!r}: {e}")
+        elif m.lastgroup == "typex":
+            out.append(("typex", m.group("typex")[1:]))
+        elif m.lastgroup == "metax":
+            out.append(("metax", m.group("metax")[1:]))
+        elif m.lastgroup == "num":
             t = m.group("num")
             out.append(("lit", float(t) if ("." in t or "e" in t or "E" in t) else int(t)))
         elif m.lastgroup == "str":
@@ -223,6 +289,12 @@ class _Parser:
         if k == "lit":
             self.eat()
             return Literal(v)
+        if k == "typex":
+            self.eat()
+            return TypeExtractor(v)
+        if k == "metax":
+            self.eat()
+            return MetaExtractor(v)
         if k == "ident":
             self.eat()
             if self.peek() == ("op", "("):
@@ -309,11 +381,58 @@ _FUNCTIONS: dict = {
 }
 
 
+# TypeExtractor name -> Arrow type predicate (domain types the
+# reference tailors per schema, type.hpp; ip is string-carried here
+# and resolved by metadata or value sniffing — see _type_columns)
+_TYPE_PREDICATES = {
+    "string": lambda t: pa.types.is_string(t) or pa.types.is_large_string(t),
+    "int": pa.types.is_signed_integer,
+    "int64": pa.types.is_signed_integer,
+    "uint": pa.types.is_unsigned_integer,
+    "uint64": pa.types.is_unsigned_integer,
+    "double": pa.types.is_floating,
+    "bool": pa.types.is_boolean,
+    "time": pa.types.is_timestamp,
+    "duration": pa.types.is_duration,
+}
+
+
+def _type_columns(table: pa.Table, tname: str):
+    """Columns the ``:type`` extractor applies to in this batch.
+    Explicit ``tenzir_type`` field metadata wins; otherwise the Arrow
+    physical type decides, except ``:ip``, which (being string-carried)
+    falls back to sniffing the first few non-null values."""
+    cols = []
+    for i, f in enumerate(table.schema):
+        meta = (f.metadata or {}).get(b"tenzir_type")
+        if meta is not None:
+            if meta.decode() == tname:
+                cols.append(f.name)
+            continue
+        if tname == "ip":
+            from tenzir_ray.iputil import looks_like_ip_column
+
+            if (pa.types.is_string(f.type) or pa.types.is_large_string(f.type)) \
+                    and looks_like_ip_column(table.column(i)):
+                cols.append(f.name)
+        elif tname in _TYPE_PREDICATES and _TYPE_PREDICATES[tname](f.type):
+            cols.append(f.name)
+    return cols
+
+
 def _eval(node: Node, table: pa.Table):
     if isinstance(node, Literal):
         return node.value
     if isinstance(node, Field):
         return _resolve_field(table, node.path)
+    if isinstance(node, MetaExtractor):
+        col = _META_COLUMNS.get(node.name, f"_{node.name}")
+        return _resolve_field(table, (col,))
+    if isinstance(node, TypeExtractor):
+        raise TypeError(
+            f"type extractor :{node.name} is only valid as the left side "
+            "of a comparison"
+        )
     if isinstance(node, Call):
         args = [_eval(a, table) for a in node.args]
         return _FUNCTIONS[node.name][2](*args)
@@ -328,7 +447,42 @@ def _eval(node: Node, table: pa.Table):
         }[node.op]
         return fn(lhs, rhs)
     if isinstance(node, Cmp):
+        if isinstance(node.lhs, TypeExtractor):
+            # disjunction over every field of the type in THIS batch's
+            # schema (the reference tailors the expression per schema,
+            # expression.hpp:86; no matching field -> null mask)
+            cols = _type_columns(table, node.lhs.name)
+            if not cols:
+                return pa.nulls(table.num_rows, type=pa.bool_())
+            out = None
+            for c in cols:
+                m = _as_mask(
+                    _eval(Cmp(node.op, Field((c,)), node.rhs), table),
+                    table.num_rows,
+                )
+                out = m if out is None else pc.or_kleene(out, m)
+            return out
         lhs, rhs = _eval(node.lhs, table), _eval(node.rhs, table)
+        import ipaddress
+
+        # ip/subnet domain comparisons (reference type.hpp:703,795):
+        # string-carried IP column vs ip/subnet literal
+        if isinstance(rhs, (ipaddress.IPv4Network, ipaddress.IPv6Network)):
+            from tenzir_ray.iputil import ip_in_subnet
+
+            if node.op not in ("in", "not_in"):
+                raise TypeError(
+                    "subnet literals support 'in' / 'not in' containment only"
+                )
+            m = ip_in_subnet(lhs, rhs)
+            return m if node.op == "in" else pc.invert(m)
+        if isinstance(rhs, (ipaddress.IPv4Address, ipaddress.IPv6Address)):
+            from tenzir_ray.iputil import ip_equal
+
+            if node.op not in ("==", "!="):
+                raise TypeError("IP literals support == / != comparison only")
+            m = ip_equal(lhs, rhs)
+            return m if node.op == "==" else pc.invert(m)
         # string literal vs temporal column: cast the literal (ISO format),
         # mirroring the reference's per-schema expression tailoring
         for a, b in ((lhs, "rhs"), (rhs, "lhs")):
@@ -399,7 +553,10 @@ def _validate(node: Node) -> None:
             if not isinstance(node.rhs, Literal) or not isinstance(node.rhs.value, str):
                 raise ValueError("matches requires a string literal pattern")
             re.compile(node.rhs.value)  # syntax check (Python re ≈ RE2 for our subset)
-        _validate(node.lhs)
+        if not isinstance(node.lhs, (TypeExtractor, MetaExtractor)):
+            _validate(node.lhs)
+        if isinstance(node.rhs, (TypeExtractor, MetaExtractor)):
+            raise ValueError("type/meta extractors belong on the comparison's left side")
         _validate(node.rhs)
     elif isinstance(node, (And, Or)):
         for p in node.parts:
@@ -436,6 +593,10 @@ def _validate(node: Node) -> None:
                     )
         for a in node.args:
             _validate(a)
+    elif isinstance(node, (TypeExtractor, MetaExtractor)):
+        raise ValueError(
+            f"{node!r} is only valid as the left side of a comparison"
+        )
 
 
 def resolve_concepts(node: Node, concepts: dict) -> Node:
@@ -536,12 +697,18 @@ def _coerce_ds_literal(field_name: str, value, schema: Optional[pa.Schema]):
 
 def _to_ds(node: Node, schema: Optional[pa.Schema] = None) -> pads.Expression:
     if isinstance(node, Cmp):
-        if not isinstance(node.lhs, Field) or len(node.lhs.path) != 1:
+        lhs = node.lhs
+        if isinstance(lhs, MetaExtractor):
+            # meta extractors ride reserved columns, so they push down
+            lhs = Field((_META_COLUMNS.get(lhs.name, f"_{lhs.name}"),))
+        if not isinstance(lhs, Field) or len(lhs.path) != 1:
             raise ValueError("pushdown requires simple field on lhs")
         if not isinstance(node.rhs, Literal):
             raise ValueError("pushdown requires literal rhs")
-        f = pc.field(node.lhs.path[0])
-        v = _coerce_ds_literal(node.lhs.path[0], node.rhs.value, schema)
+        if type(node.rhs.value).__module__ == "ipaddress":
+            raise ValueError("no row-group pushdown for ip/subnet predicates")
+        f = pc.field(lhs.path[0])
+        v = _coerce_ds_literal(lhs.path[0], node.rhs.value, schema)
         if node.op == "in":
             return f.isin(v)
         if node.op == "not_in":
