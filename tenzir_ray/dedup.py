@@ -14,9 +14,12 @@ shape:
   suffices (simhash hamming, embedding cosine), or via a reduce-side
   join of candidate pairs with task-side-extracted shingle sets
   (MinHash) — the corpus is never scanned on the driver;
-- only VERIFIED edges reach the driver (bounded by the true
-  near-duplicate count, not the candidate count); union-find runs
-  there and losers broadcast back as one ``ray.put`` id set.
+- verified edges resolve into clusters under a byte gate: small edge
+  sets collect to the driver (union-find + one ``ray.put`` loser
+  broadcast); big ones resolve DISTRIBUTED via iterated hash-to-min
+  connected components over the bucket exchange, and losers leave via
+  broadcast or an anti-join exchange — no edge list or loser array
+  ever sits on one process (TZR_EDGE_RESOLVE forces a path).
 """
 
 from __future__ import annotations
@@ -47,6 +50,17 @@ _MAX_FULL_PAIR_BUCKET = 64
 _BROADCAST_SHINGLE_BYTES = 512 * 1024 * 1024
 _BROADCAST_CAND_LIMIT = 2_000_000
 
+# edge-resolution gates (VERDICT r4 #1): below _EDGE_DRIVER_BYTES the
+# verified edge list collects to the driver for union-find (cheaper
+# than 3 exchanges/iteration); above it, distributed hash-to-min
+# connected components resolve clusters off-driver, and the loser set
+# broadcasts only while it fits _LOSER_BROADCAST_BYTES (else an
+# anti-join exchange drops them). Env TZR_EDGE_RESOLVE=driver|exchange
+# forces a path (tests / scale probes).
+_EDGE_DRIVER_BYTES = 128 * 1024 * 1024
+_LOSER_BROADCAST_BYTES = 256 * 1024 * 1024
+_CC_MAX_ITERS = 30
+
 
 def _collect_small(ds: Dataset) -> pa.Table:
     """Gather a dataset KNOWN to be small (edge lists, metadata rows)
@@ -62,11 +76,13 @@ def _collect_small(ds: Dataset) -> pa.Table:
     return pa.concat_tables(tables)
 
 
-def _drop_losers(ds: Dataset, id_col: str, losers: set, drop_cols: List[str]) -> Dataset:
+def _drop_losers(ds: Dataset, id_col: str, losers, drop_cols: List[str]) -> Dataset:
     """Broadcast the loser-id set once (``ray.put``) and filter it out
     per task with a vectorized ``pc.is_in`` — no second shuffle of the
-    data."""
-    if losers:
+    data. ``losers`` is a python set or a ``pa.Array`` of ids."""
+    if isinstance(losers, (pa.Array, pa.ChunkedArray)):
+        loser_ref = ray.put(losers.combine_chunks() if isinstance(losers, pa.ChunkedArray) else losers) if len(losers) else None
+    elif losers:
         loser_ref = ray.put(pa.array(list(losers)))
     else:
         loser_ref = None
@@ -577,13 +593,7 @@ def dedup_minhash_lsh(
     )
 
     if not verify:
-        pair_tbl = _collect_small(pairs)
-        edges = (
-            set(zip(pair_tbl["a"].to_pylist(), pair_tbl["b"].to_pylist()))
-            if pair_tbl is not None
-            else set()
-        )
-        return _finish_drop(hashed, id_col, edges, ["__minhash"])
+        return _finish_drop(hashed, id_col, pairs, ["__minhash"])
 
     edges = _verified_edges(
         hashed,
@@ -605,7 +615,7 @@ def _verified_edges(
     threshold: float,
     shingles_of,
     verify_path: str = "auto",
-) -> set:
+) -> Dataset:
     """Distributed exact-Jaccard verification of candidate ``(a, b)``
     pairs — shared by the MinHash+LSH and n-gram-Jaccard dedups.
 
@@ -617,8 +627,9 @@ def _verified_edges(
     the corpus): a broadcast fast path when the candidate shingle sets
     fit one object-store replica per node, else a bucketed exchange
     with in-task pyarrow hash joins. Both verify with the grouped
-    binary-search Jaccard kernel. Returns the verified edge set
-    (bounded by the true near-duplicate count)."""
+    binary-search Jaccard kernel. Returns the verified edge DATASET
+    (rows bounded by the true near-duplicate count) — resolution into
+    losers happens in :func:`_finish_drop`, off-driver when big."""
     sh_type = pa.list_(pa.uint64())
 
     # global pair dedup + a-sort FIRST, while rows are just two ids:
@@ -771,14 +782,9 @@ def _verified_edges(
         # the verify saturates the cluster (rows are two ids — cheap)
         nblk = max(32, 4 * int(ray.cluster_resources().get("CPU", 4)))
         vpairs = pairs.repartition(nblk) if pairs.count() > 200_000 else pairs
-        edge_tbl = _collect_small(
-            _tr("verify_broadcast", vpairs.map_batches(verify_broadcast, **_PYARROW))
-        )
-        return (
-            set(zip(edge_tbl["a"].to_pylist(), edge_tbl["b"].to_pylist()))
-            if edge_tbl is not None
-            else set()
-        )
+        return _tr(
+            "verify_broadcast", vpairs.map_batches(verify_broadcast, **_PYARROW)
+        ).materialize()
 
     # -- beyond-broadcast path: two bucketed in-task-join exchanges --------
     # The round-3 shape here (tagged union + sort-based groupby per join
@@ -936,20 +942,250 @@ def _verified_edges(
         .groupby("__gb")
         .map_groups(verify_b, batch_format="pyarrow"),
     )
+    return verified.materialize()
 
-    edge_tbl = _collect_small(verified)
-    return (
-        set(zip(edge_tbl["a"].to_pylist(), edge_tbl["b"].to_pylist()))
-        if edge_tbl is not None
-        else set()
+
+def _cc_part(arr, nparts: int) -> np.ndarray:
+    """Partition index of each id (splitmix for ints, crc32 loop for
+    strings — bounded by edge counts, never the corpus)."""
+    import zlib
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        if pa.types.is_integer(arr.type):
+            arr = arr.to_numpy(zero_copy_only=False)
+        else:
+            arr = np.array(arr.to_pylist(), dtype=object)
+    if np.issubdtype(arr.dtype, np.integer):
+        return (_splitmix64(arr.astype(np.uint64)) % np.uint64(nparts)).astype(np.int64)
+    return np.fromiter(
+        (zlib.crc32(str(x).encode()) % nparts for x in arr), np.int64, len(arr)
     )
 
 
-def _finish_drop(hashed: Dataset, id_col: str, edges: set, drop_cols: List[str]) -> Dataset:
-    """Union-find over the (verified, small) edge list → drop losers."""
-    roots = _union_find(list(edges))
-    losers = {x for x, r in roots.items() if r != x}
-    return _drop_losers(hashed, id_col, losers, drop_cols)
+def _connected_components(edges: Dataset, id_type: pa.DataType) -> Dataset:
+    """Distributed connected components over a verified-duplicate edge
+    Dataset: iterated min-label propagation (hash-to-min) with raw Ray
+    tasks over hash-partitioned edge shards. This is one of the few
+    places the Dataset API genuinely can't express the semantics — an
+    ITERATIVE fixpoint whose per-round state must stay co-partitioned;
+    a Dataset groupby per round would re-shuffle the same edges every
+    iteration (measured 0.5→26 s/round growth), while here the edges
+    are partitioned ONCE and each round is P map + P reduce numpy
+    tasks shipping only (node, label) messages.
+
+    Partitioning contract: edges are undirected up front (both (a, b)
+    and (b, a) rows), sharded by hash(src) — so every node's label
+    shard is CO-LOCATED with the edges that read it, and messages
+    (label of src, addressed to dst) are the only cross-shard bytes.
+    Rounds = component diameter (duplicate clusters are near-cliques,
+    so 2–4 in practice; capped loudly at ``_CC_MAX_ITERS``).
+
+    Removes the last driver-side dedup structure (r4 VERDICT #1:
+    driver union-find + loser ``ray.put``) — no edge list, label
+    array, or loser set ever sits on one process. Returns a
+    (node, label) Dataset, one row per node; label = min id of the
+    component."""
+    nparts = max(8, int(ray.cluster_resources().get("CPU", 4)))
+    int_ids = pa.types.is_integer(id_type)
+
+    @ray.remote
+    def split_block(t: pa.Table):
+        """Undirect one edge block and split it by hash(src) into
+        nparts (src, dst) numpy pairs."""
+        a = t["a"].combine_chunks() if isinstance(t["a"], pa.ChunkedArray) else t["a"]
+        b = t["b"].combine_chunks() if isinstance(t["b"], pa.ChunkedArray) else t["b"]
+        if int_ids:
+            av = a.to_numpy(zero_copy_only=False)
+            bv = b.to_numpy(zero_copy_only=False)
+        else:
+            av = np.array(a.to_pylist(), dtype=object)
+            bv = np.array(b.to_pylist(), dtype=object)
+        src = np.concatenate([av, bv])
+        dst = np.concatenate([bv, av])
+        part = np.concatenate([_cc_part(a, nparts), _cc_part(b, nparts)])
+        order = np.argsort(part, kind="stable")
+        part, src, dst = part[order], src[order], dst[order]
+        bounds = np.searchsorted(part, np.arange(nparts + 1))
+        return tuple(
+            (src[bounds[p] : bounds[p + 1]], dst[bounds[p] : bounds[p + 1]])
+            for p in range(nparts)
+        )
+
+    split_block = split_block.options(num_returns=nparts)
+    edge_refs = edges.to_arrow_refs()
+    split_refs = [split_block.remote(r) for r in edge_refs]
+
+    @ray.remote
+    def build_shard(*parts):
+        """One edge shard (src-sorted) + its initial label array.
+        Every node of shard p appears as src here (edges are
+        undirected), so nodes = unique(src) covers the shard."""
+        src = np.concatenate([p[0] for p in parts]) if parts else np.empty(0)
+        dst = np.concatenate([p[1] for p in parts]) if parts else np.empty(0)
+        order = np.argsort(src, kind="stable")
+        src, dst = src[order], dst[order]
+        nodes = np.unique(src)
+        return src, dst, nodes
+
+    shard_refs = [
+        build_shard.remote(*[split_refs[b][p] for b in range(len(split_refs))])
+        for p in range(nparts)
+    ]
+
+    @ray.remote
+    def init_labels(shard):
+        nodes = shard[2]
+        return nodes.copy()  # label = own id
+
+    label_refs = [init_labels.remote(s) for s in shard_refs]
+
+    @ray.remote
+    def cc_map(shard, labels):
+        """Send each dst the (possibly improved) label of its src:
+        min(label[src], dst is implicit) — split by dst shard."""
+        src, dst, nodes = shard
+        if len(src) == 0:
+            return tuple((np.empty(0, dtype=nodes.dtype), np.empty(0, dtype=nodes.dtype))
+                         for _ in range(nparts))
+        la = labels[np.searchsorted(nodes, src)]
+        part = _cc_part(dst, nparts)
+        order = np.argsort(part, kind="stable")
+        part, d_s, l_s = part[order], dst[order], la[order]
+        bounds = np.searchsorted(part, np.arange(nparts + 1))
+        return tuple(
+            (d_s[bounds[p] : bounds[p + 1]], l_s[bounds[p] : bounds[p + 1]])
+            for p in range(nparts)
+        )
+
+    cc_map = cc_map.options(num_returns=nparts)
+
+    @ray.remote
+    def cc_reduce(shard, labels, *msgs):
+        """Fold incoming (dst, label) messages into this shard's label
+        array; returns (new_labels, changed_count)."""
+        nodes = shard[2]
+        new = labels.copy()
+        dst = np.concatenate([m[0] for m in msgs]) if msgs else np.empty(0)
+        lab = np.concatenate([m[1] for m in msgs]) if msgs else np.empty(0)
+        if len(dst):
+            idx = np.searchsorted(nodes, dst)
+            if new.dtype == object:
+                for i, l in zip(idx, lab):  # object dtype: no ufunc.at
+                    if l < new[i]:
+                        new[i] = l
+            else:
+                np.minimum.at(new, idx, lab)
+        changed = int(np.sum(new != labels))
+        return new, changed
+
+    cc_reduce = cc_reduce.options(num_returns=2)
+
+    for it in range(_CC_MAX_ITERS):
+        msg_refs = [cc_map.remote(shard_refs[p], label_refs[p]) for p in range(nparts)]
+        out = [
+            cc_reduce.remote(
+                shard_refs[q], label_refs[q],
+                *[msg_refs[p][q] for p in range(nparts)],
+            )
+            for q in range(nparts)
+        ]
+        label_refs = [o[0] for o in out]
+        changed = sum(ray.get([o[1] for o in out]))
+        if changed == 0:
+            if os.environ.get("TZR_DEDUP_TRACE"):
+                print(f"[dedup-trace] cc converged after {it + 1} rounds "
+                      f"({nparts} shards)", flush=True)
+            break
+    else:
+        raise RuntimeError(
+            f"_connected_components: no fixpoint after {_CC_MAX_ITERS} rounds "
+            "(pathological duplicate-chain diameter?)"
+        )
+
+    @ray.remote
+    def shard_table(shard, labels) -> pa.Table:
+        nodes = shard[2]
+        return pa.table(
+            {"node": pa.array(nodes, type=id_type),
+             "label": pa.array(labels, type=id_type)}
+        )
+
+    from tenzir_ray.arrowutil import from_arrow_refs_retried
+
+    return from_arrow_refs_retried(
+        [shard_table.remote(shard_refs[p], label_refs[p]) for p in range(nparts)]
+    )
+
+
+
+def _drop_losers_exchange(
+    ds: Dataset, id_col: str, losers: Dataset, drop_cols: List[str]
+) -> Dataset:
+    """Beyond-broadcast loser removal: hash-shuffle anti-join of the
+    corpus against the loser-id Dataset (both sides partitioned on the
+    id — the corpus shuffles ONCE; no driver materialization)."""
+    from tenzir_ray.ops.join import shuffle_join
+
+    out = shuffle_join(
+        ds, losers.select_columns(["node"]), keys=id_col, right_keys="node",
+        how="left anti",
+    )
+    if not drop_cols:
+        return out
+
+    def drop(t: pa.Table) -> pa.Table:
+        keep = [c for c in drop_cols if c in t.column_names]
+        return t.drop_columns(keep) if keep else t
+
+    return out.map_batches(drop, **_PYARROW)
+
+
+def _finish_drop(hashed: Dataset, id_col: str, edges, drop_cols: List[str]) -> Dataset:
+    """Resolve verified duplicate edges into losers and drop them.
+
+    ``edges`` is a Dataset of (a, b) rows (or a legacy python set).
+    Path gate (``TZR_EDGE_RESOLVE=driver|exchange|auto``):
+
+    - **driver** (default below ``_EDGE_DRIVER_BYTES``): collect →
+      union-find → loser-id broadcast. Right for the common case where
+      verified edges are a tiny fraction of the corpus.
+    - **exchange** (default above the gate): distributed hash-to-min
+      connected components (:func:`_connected_components`) → losers =
+      nodes whose label is not their own id → broadcast them while
+      small, else anti-join through the exchange. No edge list or
+      loser array ever sits on one process."""
+    if isinstance(edges, set):
+        roots = _union_find(list(edges))
+        losers = {x for x, r in roots.items() if r != x}
+        return _drop_losers(hashed, id_col, losers, drop_cols)
+
+    mode = os.environ.get("TZR_EDGE_RESOLVE", "auto")
+    if mode not in ("auto", "driver", "exchange"):
+        raise ValueError(f"TZR_EDGE_RESOLVE must be auto/driver/exchange, got {mode!r}")
+    edges = edges.materialize()
+    if mode == "driver" or (mode == "auto" and edges.size_bytes() <= _EDGE_DRIVER_BYTES):
+        tbl = _collect_small(edges)
+        eset = (
+            set(zip(tbl["a"].to_pylist(), tbl["b"].to_pylist()))
+            if tbl is not None
+            else set()
+        )
+        return _finish_drop(hashed, id_col, eset, drop_cols)
+
+    id_type = edges.schema().base_schema.field("a").type
+    labels = _connected_components(edges, id_type)
+
+    def only_losers(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t["node"], t["label"]))
+
+    losers = labels.map_batches(only_losers, **_PYARROW).materialize()
+    if losers.size_bytes() <= _LOSER_BROADCAST_BYTES:
+        tbl = _collect_small(losers)
+        arr = tbl["node"].combine_chunks() if tbl is not None else pa.array([])
+        return _drop_losers(hashed, id_col, arr, drop_cols)
+    return _drop_losers_exchange(hashed, id_col, losers, drop_cols)
 
 
 # ---------------------------------------------------------------------------
@@ -1492,13 +1728,7 @@ def dedup_simhash(
         .groupby("gb")
         .map_groups(pairs_in_group, batch_format="pyarrow")
     )
-    edge_tbl = _collect_small(verified)
-    edges = (
-        set(zip(edge_tbl["a"].to_pylist(), edge_tbl["b"].to_pylist()))
-        if edge_tbl is not None
-        else set()
-    )
-    return _finish_drop(hashed, id_col, edges, ["__simhash"])
+    return _finish_drop(hashed, id_col, verified, ["__simhash"])
 
 
 # ---------------------------------------------------------------------------
@@ -1562,10 +1792,4 @@ def dedup_embedding(
         .groupby("__bucket")
         .map_groups(pairs_in_bucket, batch_format="pyarrow")
     )
-    edge_tbl = _collect_small(verified)
-    edges = (
-        set(zip(edge_tbl["a"].to_pylist(), edge_tbl["b"].to_pylist()))
-        if edge_tbl is not None
-        else set()
-    )
-    return _finish_drop(ds, id_col, edges, [])
+    return _finish_drop(ds, id_col, verified, [])

@@ -339,3 +339,84 @@ def test_tql_dedup_ngram_stage():
     out = tql.run("dedup-ngram text doc_id", docs_ds())
     ids = sorted(r["doc_id"] for r in out.take_all())
     assert 0 in ids and 1 not in ids
+
+
+def test_edge_resolution_exchange_matches_driver(ray_session, monkeypatch):
+    # VERDICT r4 #1: distributed hash-to-min connected components must
+    # produce exactly the driver union-find's survivor set — including
+    # CHAIN clusters (a~b, b~c, no a~c edge) that need >1 propagation
+    # round, and string ids (numpy-object min fallback)
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from tenzir_ray.dedup import _finish_drop
+
+    rng = np.random.default_rng(3)
+    n = 3000
+    ids = np.arange(n)
+    # build chains of length 1..6: consecutive ids within a chain
+    edges_a, edges_b = [], []
+    i = 0
+    while i < n - 6:
+        clen = int(rng.integers(1, 7))
+        for j in range(clen - 1):
+            edges_a.append(i + j)
+            edges_b.append(i + j + 1)
+        i += clen + int(rng.integers(1, 4))
+    edge_ds = ray.data.from_arrow(
+        pa.table({"a": pa.array(edges_a, pa.int64()), "b": pa.array(edges_b, pa.int64())})
+    ).repartition(7)
+    corpus = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+
+    monkeypatch.setenv("TZR_EDGE_RESOLVE", "driver")
+    kept_driver = sorted(_finish_drop(corpus, "doc_id", edge_ds, []).to_pandas()["doc_id"])
+    monkeypatch.setenv("TZR_EDGE_RESOLVE", "exchange")
+    kept_exchange = sorted(_finish_drop(corpus, "doc_id", edge_ds, []).to_pandas()["doc_id"])
+    assert kept_driver == kept_exchange
+    assert len(kept_driver) < n  # something was actually dropped
+
+    # string ids through the same machinery
+    sa = [f"d{x:05d}" for x in edges_a]
+    sb = [f"d{x:05d}" for x in edges_b]
+    edge_s = ray.data.from_arrow(pa.table({"a": sa, "b": sb})).repartition(5)
+    corpus_s = ray.data.from_arrow(pa.table({"doc_id": [f"d{x:05d}" for x in ids]}))
+    monkeypatch.setenv("TZR_EDGE_RESOLVE", "driver")
+    kd = sorted(_finish_drop(corpus_s, "doc_id", edge_s, []).to_pandas()["doc_id"])
+    monkeypatch.setenv("TZR_EDGE_RESOLVE", "exchange")
+    ke = sorted(_finish_drop(corpus_s, "doc_id", edge_s, []).to_pandas()["doc_id"])
+    assert kd == ke
+
+
+def test_minhash_dedup_exchange_resolution(ray_session, monkeypatch):
+    # end-to-end: the full MinHash+LSH dedup with edge resolution
+    # forced OFF-driver must equal the driver path byte-for-byte
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from tenzir_ray.dedup import dedup_minhash_lsh
+
+    rng = np.random.default_rng(9)
+    base = [
+        " ".join(rng.choice(["alpha", "beta", "gamma", "delta", "omega",
+                             "kappa", "sigma", "theta"], 30))
+        for _ in range(120)
+    ]
+    texts, did = [], []
+    for i, b in enumerate(base):
+        texts.append(b)
+        did.append(2 * i)
+        if i % 3 == 0:  # near-duplicate: tiny suffix change
+            texts.append(b + " zz")
+            did.append(2 * i + 1)
+    t = pa.table({"doc_id": pa.array(did, pa.int64()), "text": texts})
+    ds = ray.data.from_arrow(t).repartition(6)
+
+    monkeypatch.setenv("TZR_EDGE_RESOLVE", "driver")
+    kept_d = sorted(dedup_minhash_lsh(ds, "text", "doc_id").to_pandas()["doc_id"])
+    monkeypatch.setenv("TZR_EDGE_RESOLVE", "exchange")
+    kept_e = sorted(dedup_minhash_lsh(ds, "text", "doc_id").to_pandas()["doc_id"])
+    assert kept_d == kept_e
+    assert len(kept_d) < len(did)
