@@ -535,28 +535,36 @@ def erase(lake_root: str, predicate: str) -> Dict:
 
     @ray.remote
     def rewrite(bucket: str, rel: str):
+        from tenzir_ray.cdc.lake import BloomFilter, column_synopses
+
         path = os.path.join(lake_root, rel)
         t = pq.read_table(path)
         drop = pc.fill_null(mask_fn(t), False)
         if not pc.any(drop).as_py():
-            return bucket, None, t.num_rows  # untouched
+            return bucket, None, t.num_rows, None, None  # untouched
         kept = t.filter(pc.invert(drop))
         new_rel = f"data/b{int(bucket):05d}-v{version:06d}.parquet"
         new_path = os.path.join(lake_root, new_rel)
         tmp = new_path + f".tmp-{os.getpid()}"
         pq.write_table(kept, tmp, compression="zstd", row_group_size=65_536)
         os.replace(tmp, new_path)
-        return bucket, new_rel, kept.num_rows
+        # synopses refresh: the rewritten file's row set shrank, so the
+        # old entry's bloom/min-max would be stale-but-safe; recompute
+        # both while the table is in hand
+        bloom = BloomFilter.build(set(kept["repo"].to_pylist())).to_json()
+        return bucket, new_rel, kept.num_rows, bloom, column_synopses(kept)
 
     results = ray.get([rewrite.remote(b, f["path"]) for b, f in files.items()])
     erased = 0
-    for bucket, new_rel, rows in results:
+    for bucket, new_rel, rows, bloom, synopses in results:
         if new_rel is not None:
             erased += files[bucket]["rows"] - rows
             files[bucket] = {
                 "path": new_rel,
                 "rows": rows,
                 "bytes": os.path.getsize(os.path.join(lake_root, new_rel)),
+                "repo_bloom": bloom,
+                "synopses": synopses,
             }
     man = dict(man)
     man.update(
@@ -615,7 +623,7 @@ def _rebucket_reduce(new_root: str, version: int, max_rows_per_file: int, *slice
     import pyarrow.parquet as pq
 
     from tenzir_ray.cdc.exchange import _tune_allocator
-    from tenzir_ray.cdc.lake import BloomFilter
+    from tenzir_ray.cdc.lake import BloomFilter, SynopsisAccumulator
 
     _tune_allocator()
 
@@ -648,10 +656,19 @@ def _rebucket_reduce(new_root: str, version: int, max_rows_per_file: int, *slice
             b = int(b_arr[lo])
             seg = data.slice(int(lo), int(hi - lo))
             st = writers.setdefault(
-                b, {"writer": None, "seq": 0, "files": [], "rows": 0, "repos": set()}
+                b,
+                {
+                    "writer": None,
+                    "seq": 0,
+                    "files": [],
+                    "rows": 0,
+                    "repos": set(),
+                    "syn": SynopsisAccumulator(),
+                },
             )
             st["rows"] += seg.num_rows
             st["repos"].update(seg["repo"].to_pylist())
+            st["syn"].update(seg)
             while seg.num_rows:
                 if st["writer"] is None:
                     _open(b, data.schema, st)
@@ -662,19 +679,21 @@ def _rebucket_reduce(new_root: str, version: int, max_rows_per_file: int, *slice
                 seg = seg.slice(part.num_rows)
                 if st["file_rows"] >= max_rows_per_file:
                     _roll(st)
-    rows_b, paths_b, nrows_b, bytes_b, bloom_b = [], [], [], [], []
+    rows_b, paths_b, nrows_b, bytes_b, bloom_b, syn_b = [], [], [], [], [], []
     for b, st in writers.items():
         if st["writer"] is not None:
             _roll(st)
         import json as _json
 
         bloom = _json.dumps(BloomFilter.build(st["repos"]).to_json())
+        syn = _json.dumps(st["syn"].finish())
         for rel, nr, nb in st["files"]:
             rows_b.append(b)
             paths_b.append(rel)
             nrows_b.append(nr)
             bytes_b.append(nb)
             bloom_b.append(bloom)
+            syn_b.append(syn)
     return pa.table(
         {
             "bucket": pa.array(rows_b, type=pa.int64()),
@@ -682,6 +701,7 @@ def _rebucket_reduce(new_root: str, version: int, max_rows_per_file: int, *slice
             "rows": pa.array(nrows_b, type=pa.int64()),
             "bytes": pa.array(bytes_b, type=pa.int64()),
             "repo_bloom": pa.array(bloom_b, type=pa.string()),
+            "synopses": pa.array(syn_b, type=pa.string()),
         }
     )
 
@@ -736,6 +756,7 @@ def rebucket(
         import json as _json
 
         entry["repo_bloom"] = _json.loads(r["repo_bloom"])
+        entry["synopses"] = _json.loads(r["synopses"])
     for entry in files.values():
         entry["paths"].sort()
         if len(entry["paths"]) == 1:  # single-file buckets keep the

@@ -200,6 +200,7 @@ def _empty_meta() -> pa.Table:
             "max_offset": pa.array([], type=pa.int64()),
             "delta_rows": pa.array([], type=pa.int64()),
             "repo_bloom": pa.array([], type=pa.string()),
+            "synopses": pa.array([], type=pa.string()),
         }
     )
 

@@ -190,8 +190,11 @@ class _FinalMerge:
         os.replace(tmp, final_path)
 
         # per-bucket repo Bloom synopsis (catalog-sketch analog) so
-        # point reads prune buckets without opening files
-        from tenzir_ray.cdc.lake import BloomFilter
+        # point reads prune buckets without opening files, plus
+        # per-column min/max(+Bloom) synopses so arbitrary-predicate
+        # exports prune too (``src/catalog.cpp:88-115`` /
+        # ``value_index.hpp`` analog)
+        from tenzir_ray.cdc.lake import BloomFilter, column_synopses
 
         import json as _json
 
@@ -205,6 +208,7 @@ class _FinalMerge:
                 "max_offset": pa.array([max_offset], type=pa.int64()),
                 "delta_rows": pa.array([int(delta_rows)], type=pa.int64()),
                 "repo_bloom": pa.array([_json.dumps(bloom.to_json())]),
+                "synopses": pa.array([_json.dumps(column_synopses(out))]),
             }
         )
 
@@ -355,6 +359,7 @@ def build_manifest(
             "rows": int(r["rows"]),
             "bytes": int(r["bytes"]),
             "repo_bloom": _json.loads(r["repo_bloom"]),
+            "synopses": _json.loads(r["synopses"]) if "synopses" in r else {},
         }
         new_hwm[b] = max(int(new_hwm.get(b, -1)), int(r["max_offset"]))
         if int(r["delta_rows"]) >= hist_floor:

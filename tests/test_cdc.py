@@ -269,3 +269,94 @@ def test_rebucket_multifile_hot_bucket_and_merge_on_split_lake(binlog_dir):
     man2 = Lake(dst).latest_manifest()
     # post-merge buckets are single-file again
     assert all("path" in e and "paths" not in e for e in man2["files"].values())
+
+
+def test_synopsis_predicate_pruned_read(binlog_dir):
+    """VERDICT r4 item 4: per-column manifest synopses (min/max + string
+    Bloom, the ``src/catalog.cpp:88-115`` / ``value_index.hpp`` analog).
+    An export with a selective predicate must read STRICTLY FEWER bucket
+    files than a full scan — decided from the manifest alone — while
+    returning exactly the rows the predicate matches."""
+    import collections
+
+    root = fresh_lake("synopses")
+    # 64 buckets over ~500 keys -> ~8 keys/bucket, 7 langs: some buckets
+    # provably lack some lang, so a lang-equality predicate prunes
+    replay(binlog_dir, root, num_buckets=64, chunk_shards=2)
+    lake = Lake(root)
+    man = lake.latest_manifest()
+    assert all("synopses" in f for f in man["files"].values())
+    assert all("lang" in f["synopses"] and "commit_seq" in f["synopses"]
+               for f in man["files"].values() if f["rows"])
+
+    full = lake.to_arrow()
+    buckets = key_bucket(
+        full["repo"].to_pylist(), full["path"].to_pylist(), man["num_buckets"]
+    )
+    by_bucket = collections.defaultdict(set)
+    for b, lg in zip(buckets, full["lang"].to_pylist()):
+        by_bucket[int(b)].add(lg)
+    target = next(
+        lg
+        for lg in ("py", "rs", "cpp", "go", "js", "md", "yaml")
+        if any(lg not in s for s in by_bucket.values())
+    )
+    pred = f'lang == "{target}"'
+    pruned = set(lake.prune_buckets(pred))
+    # strictly fewer buckets, and NO false prune: every bucket actually
+    # holding the lang survives
+    assert len(pruned) < len(man["files"])
+    assert {b for b, s in by_bucket.items() if target in s} <= pruned
+    # the file-count assertion: the read's file list is the pruned one
+    assert 0 < len(lake.data_files(sorted(pruned))) < len(lake.data_files())
+    ds = lake.read(predicate=pred)
+    got = ds.to_pandas()
+    import pyarrow.compute as pc
+
+    want = full.filter(pc.equal(full["lang"], target))
+    assert len(got) == want.num_rows
+    assert set(zip(got["repo"], got["path"])) == set(
+        zip(want["repo"].to_pylist(), want["path"].to_pylist())
+    )
+
+    # numeric min/max synopsis: an out-of-range commit_seq prunes ALL
+    hi = int(pc.max(full["commit_seq"]).as_py())
+    assert lake.prune_buckets(f"commit_seq > {hi}") == []
+    assert lake.read(predicate=f"commit_seq > {hi}").count() == 0
+
+    # a bloom-missing lang prunes every bucket from the manifest alone
+    assert lake.prune_buckets('lang == "cobol"') == []
+
+
+def test_synopses_survive_rebucket_and_erase(binlog_dir):
+    """Compaction (streaming SynopsisAccumulator) and erase (rewrite
+    refresh) both carry per-column synopses forward, so pruning keeps
+    working across lake maintenance."""
+    src = fresh_lake("syn_rb_src")
+    replay(binlog_dir, src, num_buckets=16, chunk_shards=2)
+    dst = fresh_lake("syn_rb_dst")
+    man = rebucket(src, dst, new_num_buckets=8)
+    assert all("synopses" in e for e in man["files"].values())
+    lake = Lake(dst)
+    full = lake.to_arrow()
+    import pyarrow.compute as pc
+
+    got = lake.read(predicate='lang == "py"').to_pandas()
+    assert len(got) == full.filter(pc.equal(full["lang"], "py")).num_rows
+
+    # erase rewrites buckets; rewritten entries get FRESH synopses
+    from tenzir_ray.cdc.engine import erase
+
+    man2 = erase(dst, 'lang == "py"')
+    rewritten = [e for e in man2["files"].values() if "v000002" in e.get("path", "")]
+    assert rewritten and all("synopses" in e and "repo_bloom" in e for e in rewritten)
+    # 'py' is gone everywhere: rewritten buckets carry refreshed blooms
+    # without it, untouched buckets never held it — so the synopses
+    # alone prune (near-)everything and the read returns nothing
+    assert Lake(dst).read(predicate='lang == "py"').count() == 0
+    for e in rewritten:
+        syn = e["synopses"].get("lang")
+        if syn and "bloom" in syn:
+            from tenzir_ray.cdc.lake import BloomFilter
+
+            assert not BloomFilter.from_json(syn["bloom"]).might_contain("py")
