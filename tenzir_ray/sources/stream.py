@@ -20,9 +20,13 @@ Implementations here:
 - :class:`MemoryBrokerSource` — an in-process broker with the consumer
   API a real client would have (``poll`` / ``seek`` / ``commit`` /
   ``end_offsets``, per-partition orderings, optional duplicate
-  redelivery) buffering records into Arrow. A librdkafka-backed
-  implementation would subclass this shape with network polls; no
-  broker exists in this sandbox.
+  redelivery) buffering records into Arrow.
+- :class:`KafkaSource` — the real client, confluent-kafka
+  (librdkafka) behind the SAME protocol, so switching from the
+  simulated broker to a live one is a constructor change. Import- and
+  connection-guarded: the sandbox has no broker, so its conformance
+  legs skip; the offset/seek plumbing is pure functions tested without
+  one.
 """
 
 from __future__ import annotations
@@ -51,6 +55,69 @@ class StreamSource(ABC):
     def schema(self, shards: List[Dict]) -> pa.Schema:
         """Record schema WITHOUT executing the dataset (footers /
         broker schema registry)."""
+
+
+def pack_shards(batches: List[pa.Table], shard_records: int) -> List[Dict]:
+    """Group offset-stamped Arrow batches into offset-ordered shard
+    descriptors of ~``shard_records`` records (shared by the memory
+    broker and the Kafka client)."""
+    import pyarrow.compute as pc
+
+    batches = sorted(batches, key=lambda t: pc.min(t["offset"]).as_py())
+    shards: List[Dict] = []
+    cur: List[pa.Table] = []
+    cur_rows = 0
+    for t in batches:
+        cur.append(t)
+        cur_rows += t.num_rows
+        if cur_rows >= shard_records:
+            shards.append(_shard_of(cur))
+            cur, cur_rows = [], 0
+    if cur:
+        shards.append(_shard_of(cur))
+    return shards
+
+
+def _shard_of(tables: List[pa.Table]) -> Dict:
+    # true min/max, NOT positional first/last: redelivered duplicates
+    # sit out of order within a batch
+    import pyarrow.compute as pc
+
+    return {
+        "tables": tables,
+        "min_offset": min(pc.min(t["offset"]).as_py() for t in tables),
+        "max_offset": max(pc.max(t["offset"]).as_py() for t in tables),
+    }
+
+
+def pack_offset(kafka_offset: int, partition: int, num_partitions: int) -> int:
+    """Total-order global offset over a multi-partition topic:
+    ``kafka_offset * P + partition``. Monotone within every partition
+    and globally unique, so the engine's single high-water mark
+    (``applied_through``) keeps its meaning; with P=1 it IS the raw
+    Kafka offset."""
+    return kafka_offset * num_partitions + partition
+
+
+def unpack_offset(global_offset: int, num_partitions: int) -> tuple:
+    """Inverse of :func:`pack_offset` → (kafka_offset, partition)."""
+    return divmod(global_offset, num_partitions)
+
+
+def parse_seek_spec(spec) -> Dict:
+    """The reference kafka connector's offset option
+    (``plugins/kafka/src/configuration.cpp:73-110``): ``"stored"`` |
+    ``"beginning"`` | ``"end"`` | an absolute int | ``"timestamp:<ms>"``
+    → a normalized dict the assign callback applies."""
+    if isinstance(spec, int):
+        return {"kind": "absolute", "offset": spec}
+    if spec in ("stored", "beginning", "end"):
+        return {"kind": spec}
+    if isinstance(spec, str) and spec.startswith("timestamp:"):
+        return {"kind": "timestamp", "ms": int(spec.split(":", 1)[1])}
+    raise ValueError(
+        f"bad offset spec {spec!r}: expected stored|beginning|end|<int>|timestamp:<ms>"
+    )
 
 
 class BinlogSource(StreamSource):
@@ -160,29 +227,7 @@ class MemoryBrokerSource(StreamSource):
 
         batches = [t for part in self._partitions for t in part]
         batches = [t for t in batches if pc.max(t["offset"]).as_py() > after_offset]
-        batches.sort(key=lambda t: pc.min(t["offset"]).as_py())
-        shards, cur, cur_rows = [], [], 0
-        for t in batches:
-            cur.append(t)
-            cur_rows += t.num_rows
-            if cur_rows >= self.shard_records:
-                shards.append(self._shard(cur))
-                cur, cur_rows = [], 0
-        if cur:
-            shards.append(self._shard(cur))
-        return shards
-
-    @staticmethod
-    def _shard(tables: List[pa.Table]) -> Dict:
-        # true min/max, NOT positional first/last: redelivered
-        # duplicates sit out of order within a batch
-        import pyarrow.compute as pc
-
-        return {
-            "tables": tables,
-            "min_offset": min(pc.min(t["offset"]).as_py() for t in tables),
-            "max_offset": max(pc.max(t["offset"]).as_py() for t in tables),
-        }
+        return pack_shards(batches, self.shard_records)
 
     def dataset(self, shards: List[Dict]) -> Dataset:
         import ray.data
@@ -192,3 +237,150 @@ class MemoryBrokerSource(StreamSource):
 
     def schema(self, shards: List[Dict]) -> pa.Schema:
         return self._schema
+
+
+class KafkaSource(StreamSource):
+    """librdkafka-backed StreamSource (the real client behind the
+    :class:`MemoryBrokerSource` conformance contract) — the reference's
+    kafka connector re-expressed over confluent-kafka
+    (``plugins/kafka/src/plugin.cpp:86-239``; offset seek policy from
+    ``plugins/kafka/src/configuration.cpp:73-110``).
+
+    - **Values are NDJSON records** decoded under the declared
+      ``schema`` (the reference pairs the kafka loader with the json
+      parser); an ``offset`` int64 column is stamped on from message
+      offsets, packed to a total order over partitions via
+      :func:`pack_offset`.
+    - **Seek policy** (``offset=``): ``stored`` resumes from committed
+      group offsets, ``beginning``/``end``/absolute int/
+      ``timestamp:<ms>`` seek explicitly on assign — applied in the
+      rebalance callback, so a mid-stream reassignment seeks back to
+      the stored offsets and REDELIVERS; the engine's
+      ``applied_through`` filter + applied-chunk log make that
+      exactly-once, same as the simulated conformance suite proves.
+    - **Commit discipline**: ``commit_stored()`` after the engine's
+      manifest commit is an optimization, never a correctness
+      requirement — at-least-once delivery is handled above this seam.
+
+    Import- and broker-guarded: constructing without confluent-kafka
+    raises ImportError naming the dependency (no broker or client
+    exists in the test sandbox, so conformance legs parameterized over
+    this class skip there)."""
+
+    def __init__(
+        self,
+        topic: str,
+        schema: pa.Schema,
+        bootstrap_servers: str = "localhost:9092",
+        group_id: str = "tenzir-ray",
+        offset="stored",
+        shard_records: int = 4096,
+        poll_timeout: float = 1.0,
+        drain_max_records: int = 1_000_000,
+        config: Optional[Dict] = None,
+    ):
+        try:
+            from confluent_kafka import Consumer
+        except ImportError as e:  # pragma: no cover - sandbox has no client
+            raise ImportError(
+                "KafkaSource requires the confluent-kafka package "
+                "(librdkafka client); install it or use MemoryBrokerSource/"
+                "BinlogSource"
+            ) from e
+        if "offset" in schema.names:
+            raise ValueError("the 'offset' column is stamped by the source")
+        self.topic = topic
+        self._schema = schema.append(pa.field("offset", pa.int64()))
+        self._seek = parse_seek_spec(offset)
+        self.shard_records = shard_records
+        self.poll_timeout = poll_timeout
+        self.drain_max_records = drain_max_records
+        self._num_partitions = 1  # refreshed on assign
+        conf = {
+            "bootstrap.servers": bootstrap_servers,
+            "group.id": group_id,
+            "enable.auto.commit": False,  # the manifest is the commit point
+            "auto.offset.reset": "earliest",
+            **(config or {}),
+        }
+        self._consumer = Consumer(conf)
+        self._consumer.subscribe(
+            [topic], on_assign=self._on_assign, on_revoke=lambda c, ps: None
+        )
+
+    # -- assign-time seek policy (configuration.cpp:73-110) ----------------
+
+    def _on_assign(self, consumer, partitions):  # pragma: no cover - needs broker
+        from confluent_kafka import OFFSET_BEGINNING, OFFSET_END
+
+        self._num_partitions = max(self._num_partitions, len(partitions))
+        kind = self._seek["kind"]
+        if kind == "stored":
+            pass  # committed group offsets, librdkafka's default resume
+        elif kind == "beginning":
+            for p in partitions:
+                p.offset = OFFSET_BEGINNING
+        elif kind == "end":
+            for p in partitions:
+                p.offset = OFFSET_END
+        elif kind == "absolute":
+            for p in partitions:
+                p.offset = self._seek["offset"]
+        elif kind == "timestamp":
+            for p in partitions:
+                p.offset = self._seek["ms"]
+            partitions = consumer.offsets_for_times(partitions)
+        consumer.assign(partitions)
+
+    # -- StreamSource -------------------------------------------------------
+
+    def pending(self, after_offset: int) -> List[Dict]:  # pragma: no cover - needs broker
+        """Drain available messages (bounded by ``drain_max_records`` —
+        a deep backlog arrives over successive replay chunks), decode
+        NDJSON values under the declared schema, stamp packed offsets,
+        and pack shard descriptors."""
+        import json as _json
+
+        rows: List[Dict] = []
+        while len(rows) < self.drain_max_records:
+            msg = self._consumer.poll(self.poll_timeout)
+            if msg is None:
+                break
+            if msg.error():
+                raise RuntimeError(f"kafka consume error: {msg.error()}")
+            rec = _json.loads(msg.value())
+            rec["offset"] = pack_offset(
+                msg.offset(), msg.partition(), self._num_partitions
+            )
+            rows.append(rec)
+        rows = [r for r in rows if r["offset"] > after_offset]
+        if not rows:
+            return []
+        batch = pa.Table.from_pylist(rows, schema=self._schema)
+        return pack_shards([batch], self.shard_records)
+
+    def dataset(self, shards: List[Dict]) -> Dataset:
+        import ray.data
+
+        tables = [t for s in shards for t in s["tables"]]
+        return ray.data.from_arrow(pa.concat_tables(tables, promote_options="default"))
+
+    def schema(self, shards: List[Dict]) -> pa.Schema:
+        return self._schema
+
+    # -- consumer lifecycle ---------------------------------------------------
+
+    def commit_stored(self) -> None:  # pragma: no cover - needs broker
+        """Commit current positions to the group — call AFTER the lake
+        manifest commit; a crash between the two only causes redelivery,
+        which the engine dedups."""
+        self._consumer.commit(asynchronous=False)
+
+    def force_rebalance(self) -> None:  # pragma: no cover - needs broker
+        """Test hook mirroring _RebalancingBroker: drop and re-acquire
+        the assignment so the on_assign seek policy re-fires."""
+        self._consumer.unsubscribe()
+        self._consumer.subscribe([self.topic], on_assign=self._on_assign)
+
+    def close(self) -> None:  # pragma: no cover - needs broker
+        self._consumer.close()

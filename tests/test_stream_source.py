@@ -243,3 +243,175 @@ def test_replay_exactly_once_through_rebalance(ray_session, tmp_path):
     assert lake.num_rows == exp.num_rows
     for col in ("repo", "path", "commit", "commit_seq"):
         assert lake[col].to_pylist() == exp[col].to_pylist()
+
+
+# -- KafkaSource (VERDICT r4 item 6): the real client behind the same
+# StreamSource protocol. No broker exists in this sandbox, so the live
+# legs skip; the offset/seek/shard plumbing is pure and tested here.
+
+
+def test_kafka_offset_packing_total_order():
+    from tenzir_ray.sources.stream import pack_offset, unpack_offset
+
+    P = 3
+    packed = [pack_offset(o, p, P) for o in range(100) for p in range(P)]
+    assert len(set(packed)) == len(packed)  # globally unique
+    for p in range(P):  # monotone within every partition
+        seq = [pack_offset(o, p, P) for o in range(100)]
+        assert seq == sorted(seq)
+    assert unpack_offset(pack_offset(41, 2, P), P) == (41, 2)
+    # P=1 degenerates to the raw kafka offset
+    assert pack_offset(7, 0, 1) == 7
+
+
+def test_kafka_seek_spec_parsing():
+    from tenzir_ray.sources.stream import parse_seek_spec
+
+    assert parse_seek_spec("stored") == {"kind": "stored"}
+    assert parse_seek_spec("beginning") == {"kind": "beginning"}
+    assert parse_seek_spec("end") == {"kind": "end"}
+    assert parse_seek_spec(12345) == {"kind": "absolute", "offset": 12345}
+    assert parse_seek_spec("timestamp:1700000000000") == {
+        "kind": "timestamp",
+        "ms": 1700000000000,
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bad offset spec"):
+        parse_seek_spec("yesterday")
+
+
+def test_pack_shards_orders_and_groups():
+    from tenzir_ray.sources.stream import pack_shards
+
+    def t(offsets):
+        return pa.table({"x": [0] * len(offsets), "offset": offsets})
+
+    shards = pack_shards([t([40, 41]), t([0, 1, 2]), t([10, 11])], shard_records=4)
+    assert [s["min_offset"] for s in shards] == [0, 40]
+    assert shards[0]["max_offset"] == 11 and shards[1]["max_offset"] == 41
+    assert all(
+        a["max_offset"] < b["min_offset"] for a, b in zip(shards, shards[1:])
+    )
+
+
+def test_kafka_source_importerror_without_client():
+    """Constructing KafkaSource without confluent-kafka raises an
+    ImportError naming the missing dependency (never a silent stub)."""
+    import pytest as _pytest
+
+    try:
+        import confluent_kafka  # noqa: F401
+
+        _pytest.skip("confluent-kafka installed; live legs apply instead")
+    except ImportError:
+        pass
+    from tenzir_ray.sources.stream import KafkaSource
+
+    with _pytest.raises(ImportError, match="confluent-kafka"):
+        KafkaSource("topic", _record_schema())
+
+
+def _kafka_harness_or_skip(schema):
+    """Live-broker harness: KafkaSource + a confluent Producer on a
+    fresh topic. Skips unless the client lib AND a reachable broker at
+    localhost:9092 exist."""
+    import pytest as _pytest
+
+    _pytest.importorskip("confluent_kafka")
+    import json as _json
+    import uuid
+
+    import confluent_kafka as ck
+
+    from tenzir_ray.sources.stream import KafkaSource
+
+    topic = f"tzr-conf-{uuid.uuid4().hex[:8]}"
+    prod = ck.Producer({"bootstrap.servers": "localhost:9092"})
+    try:
+        prod.list_topics(timeout=3)
+    except Exception as e:  # noqa: BLE001
+        _pytest.skip(f"no kafka broker reachable: {e}")
+
+    class Harness:
+        def __init__(self):
+            self.src = KafkaSource(topic, schema, offset="stored", poll_timeout=2.0)
+
+        def produce(self, table: pa.Table):
+            for row in table.drop_columns(
+                [c for c in ("offset",) if c in table.column_names]
+            ).to_pylist():
+                prod.produce(topic, _json.dumps(row).encode())
+            prod.flush()
+
+        def commit(self, _applied_through: int):
+            self.src.commit_stored()
+
+        def rebalance(self):
+            self.src.force_rebalance()
+
+    return Harness()
+
+
+def _memory_harness(schema):
+    class Harness:
+        def __init__(self):
+            self.src = _RebalancingBroker(
+                schema, num_partitions=1, shard_records=64, redeliver_every=7
+            )
+
+        def produce(self, table: pa.Table):
+            self.src.produce(table)
+
+        def commit(self, applied_through: int):
+            self.src.commit(0, applied_through)
+
+        def rebalance(self):
+            pass  # fires inside _RebalancingBroker.pending on next replay
+
+    return Harness()
+
+
+import pytest
+
+
+@pytest.mark.parametrize("kind", ["memory", "kafka"])
+def test_replay_conformance_rebalance_seekback_redelivery(kind, ray_session, tmp_path):
+    """VERDICT r4 item 6: the SAME rebalance + seek-back + redelivery
+    conformance run, parameterized over the simulated broker and the
+    real client (live leg skips without a broker). Single partition so
+    the produce index IS the offset for both sources."""
+    schema = _record_schema()
+    h = _memory_harness(schema) if kind == "memory" else _kafka_harness_or_skip(schema)
+
+    h.produce(_records(0, 180))
+    lake_root = str(tmp_path / f"lake_{kind}")
+    stats = replay(h.src, lake_root, num_buckets=4, chunk_shards=1, enrich_concurrency=2)
+    assert stats["events"] == 180
+    h.commit(Lake(lake_root).latest_manifest()["applied_through"])
+
+    h.produce(_records(180, 60))
+    h.rebalance()
+    replay(h.src, lake_root, num_buckets=4, chunk_shards=1, enrich_concurrency=2)
+
+    man = Lake(lake_root).latest_manifest()
+    assert man["applied_through"] == 239
+    assert len(man["applied_chunks"]) == len(set(man["applied_chunks"]))
+
+    uniq = _records(0, 240).to_pandas().reset_index(names="offset")
+    exp = duckdb.sql(
+        """
+        SELECT repo, path, commit, commit_seq FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY repo, path ORDER BY commit_seq DESC, "offset" DESC) rn
+            FROM uniq)
+        WHERE rn = 1 AND op <> 'delete'
+        ORDER BY repo, path
+        """
+    ).arrow()
+    lake = Lake(lake_root).to_arrow().sort_by(
+        [("repo", "ascending"), ("path", "ascending")]
+    )
+    assert lake.num_rows == exp.num_rows
+    for col in ("repo", "path", "commit", "commit_seq"):
+        assert lake[col].to_pylist() == exp[col].to_pylist()
