@@ -208,6 +208,36 @@ def _q_range_join(sf_dir):
     return ops.sort(ops.select(out, ["event_id", "iv_id"]), ["event_id", "iv_id"])
 
 
+def _q_range_shuffle_join(sf_dir):
+    # big-big interval-containment join (ops/join.py:range_shuffle_join,
+    # VERDICT r4 item 8): the interval side stays a DATASET end-to-end —
+    # nothing is collected or broadcast. Probe domain range-partitioned
+    # from a left-side scalar sample; boundary-spanning intervals
+    # replicate into each overlapped partition; per-partition
+    # elementary-segment CSR join. Denser windows than range_join_events
+    # (every 29th event, 2h) so intervals overlap partitions heavily.
+    from tenzir_ray.ops.join import range_shuffle_join
+
+    ds = read_parquet(_t(sf_dir, "events"), columns=["event_id", "ts"])
+
+    def pick_intervals(t):
+        import pyarrow.compute as _pc
+
+        keys = t["event_id"].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(keys % 29 == 0))
+        hi = _pc.add(sub["ts"], pa.scalar(7_200_000_000, type=pa.duration("us")))
+        return pa.table({"iv_id": sub["event_id"], "lo": sub["ts"], "hi": hi})
+
+    iv_ds = ds.map_batches(pick_intervals, batch_format="pyarrow", zero_copy_batch=True)
+    out = range_shuffle_join(ds, iv_ds, on="ts", lo_col="lo", hi_col="hi", how="inner")
+    agg = ops.summarize(
+        ops.select(out, ["event_id", "iv_id"]),
+        aggs={"n_windows": ("count", "iv_id")},
+        by="event_id",
+    )
+    return ops.sort(agg, ["event_id"])
+
+
 def _q_median_quantile(sf_dir):
     # exact distributed median / interpolated quantile over
     # bounded-cardinality measures (value-count decomposition,
@@ -1054,6 +1084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "summarize_by_hour": _q_summarize_by_hour,
         "median_quantile_lineitem": _q_median_quantile,
         "range_join_events": _q_range_join,
+        "range_shuffle_join_events": _q_range_shuffle_join,
         "top_event_types": _q_top,
         "rare_event_types": _q_rare,
         "sort_head_orders": _q_sort_head,
@@ -1482,6 +1513,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, iv.iv_id
             FROM events e JOIN iv ON e.ts >= iv.lo AND e.ts <= iv.hi
             ORDER BY e.event_id, iv.iv_id
+        """,
+        "range_shuffle_join_events": """
+            WITH iv AS (
+              SELECT event_id AS iv_id, ts AS lo, ts + INTERVAL 2 HOUR AS hi
+              FROM events WHERE event_id % 29 = 0
+            )
+            SELECT e.event_id, count(iv.iv_id) AS n_windows
+            FROM events e JOIN iv ON e.ts >= iv.lo AND e.ts <= iv.hi
+            GROUP BY e.event_id
+            ORDER BY e.event_id
         """,
         "median_quantile_lineitem": """
             SELECT l_returnflag,

@@ -408,6 +408,85 @@ def asof_shuffle_join(
     return out
 
 
+class _SegmentIndex:
+    """Elementary-segment CSR index over inclusive ``[lo, hi]``
+    intervals (ordinal int64/float64 arrays): sorted unique endpoints
+    split the domain into segments; ``flat``/``offsets`` map each
+    segment to its covering interval ids. Build is fully vectorized,
+    O(total segment coverage); a batch probe is one ``searchsorted`` +
+    two ``repeat`` gathers. Shared by the broadcast
+    :func:`range_join` (one index per actor) and the partitioned
+    :func:`range_shuffle_join` (one index per partition's intervals)."""
+
+    def __init__(self, lo, hi, is_float: bool):
+        import numpy as np
+
+        from tenzir_ray.arrowutil import ranges as _ranges
+
+        # inclusive hi: integer ordinals bump by 1; float ordinals by
+        # one ulp — the segment [lo, hi_excl) then covers hi
+        hi_excl = np.nextafter(hi, np.inf) if is_float else hi + 1
+        pts = np.unique(np.concatenate([lo, hi_excl]))
+        s0 = np.searchsorted(pts, lo)
+        s1 = np.searchsorted(pts, hi_excl)
+        spans = np.maximum(s1 - s0, 0)
+        seg_idx = np.repeat(s0, spans) + _ranges(spans)
+        iv_idx = np.repeat(np.arange(len(lo), dtype=np.int64), spans)
+        order = np.argsort(seg_idx, kind="stable")
+        self.flat = iv_idx[order]
+        self.counts = np.bincount(seg_idx, minlength=max(len(pts) - 1, 1))
+        self.offsets = np.concatenate([[0], np.cumsum(self.counts)])
+        self.pts = pts
+        self.nseg = len(pts) - 1
+
+    def probe(self, ts):
+        """(left_idx, right_take, per-row match count) for probe
+        ordinals ``ts`` — vectorized, one output row per containment."""
+        import numpy as np
+
+        from tenzir_ray.arrowutil import ranges as _ranges
+
+        seg = np.searchsorted(self.pts, ts, side="right") - 1
+        valid = (seg >= 0) & (seg < self.nseg)
+        segc = np.where(valid, seg, 0)
+        cnt = np.where(valid, self.counts[segc], 0)
+        left_idx = np.repeat(np.arange(len(ts), dtype=np.int64), cnt)
+        base = np.repeat(self.offsets[segc], cnt)
+        right_take = self.flat[base + _ranges(cnt)]
+        return left_idx, right_take, cnt
+
+
+def _range_domain(left_on_type: pa.DataType, lo_type: pa.DataType):
+    """ONE comparison domain for probe and bounds (unit-aligning
+    temporal cast; float64 if either side floats, else int64) —
+    returns (domain type, is_float, ordinal fn)."""
+    import numpy as np
+
+    if pa.types.is_temporal(lo_type):
+        if not pa.types.is_temporal(left_on_type):
+            raise TypeError(
+                f"range join: left key is {left_on_type}, right bounds are {lo_type}"
+            )
+        domain, is_float = lo_type, False
+    elif pa.types.is_floating(lo_type) or pa.types.is_floating(left_on_type):
+        domain, is_float = pa.float64(), True
+    else:
+        domain, is_float = pa.int64(), False
+
+    def ordinal(arr):
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        t = arr.type
+        if not (pa.types.is_temporal(t) or pa.types.is_integer(t) or pa.types.is_floating(t)):
+            raise TypeError(f"range join key must be temporal/numeric, got {t}")
+        arr = arr.cast(domain)
+        if pa.types.is_temporal(domain):
+            return np.asarray(arr.cast(pa.int64()))
+        return np.asarray(arr)
+
+    return domain, is_float, ordinal
+
+
 def range_join(
     ds: Dataset,
     right: pa.Table,
@@ -439,65 +518,19 @@ def range_join(
     ``suffix``."""
     import numpy as np
 
-    from tenzir_ray.arrowutil import ranges as _ranges
-
     if how not in ("inner", "left outer"):
         raise ValueError(f"range_join supports 'inner' / 'left outer', got {how!r}")
 
-    # ONE comparison domain for probe and bounds: temporal keys cast to
-    # the RIGHT side's exact type (unit alignment — a ms probe against
-    # us bounds must not compare raw ticks), numeric keys to float64 if
-    # EITHER side is floating (so x=10.5 vs int bounds [5, 10] does not
-    # get inclusive-bumped into range), else int64.
-    left_on_type = ds.schema().base_schema.field(on).type
-    lo_type = right.schema.field(lo_col).type
-    if pa.types.is_temporal(lo_type):
-        if not pa.types.is_temporal(left_on_type):
-            raise TypeError(f"range_join: left {on} is {left_on_type}, right bounds are {lo_type}")
-        domain = lo_type
-        is_float = False
-    elif pa.types.is_floating(lo_type) or pa.types.is_floating(left_on_type):
-        domain = pa.float64()
-        is_float = True
-    else:
-        domain = pa.int64()
-        is_float = False
-
-    def _ordinal(arr: pa.ChunkedArray | pa.Array) -> "np.ndarray":
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        t = arr.type
-        if not (pa.types.is_temporal(t) or pa.types.is_integer(t) or pa.types.is_floating(t)):
-            raise TypeError(f"range_join key must be temporal/numeric, got {t}")
-        arr = arr.cast(domain)  # unit-aligning cast for temporal types
-        if pa.types.is_temporal(domain):
-            return np.asarray(arr.cast(pa.int64()))
-        return np.asarray(arr)
+    _, is_float, _ordinal = _range_domain(
+        ds.schema().base_schema.field(on).type, right.schema.field(lo_col).type
+    )
     r_ref = ray.put(right)
     cpus = int(ray.cluster_resources().get("CPU", 4))
 
     class RangeJoiner:
         def __init__(self):
-            import numpy as np
-
             r = ray.get(r_ref)
-            lo = _ordinal(r[lo_col])
-            hi = _ordinal(r[hi_col])
-            # inclusive hi: integer ordinals bump by 1; float ordinals
-            # by one ulp — the segment [lo, hi_excl) then covers hi
-            hi_excl = np.nextafter(hi, np.inf) if is_float else hi + 1
-            pts = np.unique(np.concatenate([lo, hi_excl]))
-            s0 = np.searchsorted(pts, lo)
-            s1 = np.searchsorted(pts, hi_excl)
-            spans = np.maximum(s1 - s0, 0)
-            seg_idx = np.repeat(s0, spans) + _ranges(spans)
-            iv_idx = np.repeat(np.arange(len(lo), dtype=np.int64), spans)
-            order = np.argsort(seg_idx, kind="stable")
-            self.flat = iv_idx[order]
-            self.counts = np.bincount(seg_idx, minlength=max(len(pts) - 1, 1))
-            self.offsets = np.concatenate([[0], np.cumsum(self.counts)])
-            self.pts = pts
-            self.nseg = len(pts) - 1
+            self.index = _SegmentIndex(_ordinal(r[lo_col]), _ordinal(r[hi_col]), is_float)
             # right columns, clash-suffixed
             self.right = pa.table(
                 {
@@ -509,14 +542,7 @@ def range_join(
         def __call__(self, t: pa.Table) -> pa.Table:
             import numpy as np
 
-            ts = _ordinal(t[on])
-            seg = np.searchsorted(self.pts, ts, side="right") - 1
-            valid = (seg >= 0) & (seg < self.nseg)
-            segc = np.where(valid, seg, 0)
-            cnt = np.where(valid, self.counts[segc], 0)
-            left_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), cnt)
-            base = np.repeat(self.offsets[segc], cnt)
-            right_take = self.flat[base + _ranges(cnt)]
+            left_idx, right_take, cnt = self.index.probe(_ordinal(t[on]))
             out_left = t.take(pa.array(left_idx))
             out_right = self.right.take(pa.array(right_take))
             matched = pa.table(
@@ -546,3 +572,169 @@ def range_join(
     return ds.map_batches(
         RangeJoiner, concurrency=(1, max(2, cpus // 4)), num_cpus=0.5, **_PYARROW
     )
+
+
+def range_shuffle_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    lo_col: str,
+    hi_col: str,
+    how: str = "inner",
+    suffix: str = "_r",
+    num_partitions: Optional[int] = None,
+    sample_per_block: int = 64,
+) -> Dataset:
+    """Big-big interval-containment join — the escape hatch
+    :func:`range_join`'s broadcast contract points to, for an interval
+    side too large to ``ray.put`` (VERDICT r4 item 8), mirroring
+    :func:`asof_shuffle_join`'s shape.
+
+    Shape: **range-partition the probe domain, replicate
+    boundary-spanning intervals.**
+
+    1. Sample the left ``on`` column per block (``sample_per_block``
+       scalars per block, never rows) and cut ``num_partitions``
+       equal-left-count boundaries — probe skew is bounded by
+       construction.
+    2. Every left row lands in exactly ONE partition
+       (``searchsorted``); every right interval REPLICATES into each
+       partition its ``[lo, hi]`` overlaps. An interval spanning the
+       whole domain costs P copies (P ≈ 2× cluster CPUs) — the stated
+       replication trade; probe rows are never replicated, so output
+       cardinality is exact.
+    3. Both tagged sides union (schemas aligned, payload columns
+       null-filled) and co-locate in ONE hash shuffle
+       (``groupby('__part').map_groups``); each partition builds the
+       same :class:`_SegmentIndex` over ITS intervals only — the
+       O(coverage) CSR build cost is paid per partition, not squared
+       globally — and probes its left rows vectorized.
+
+    ``how``: 'inner' or 'left outer' (each left row lives in exactly
+    one partition, so unmatched-left emission is local and exact).
+    Right columns clashing with left names get ``suffix``; ``lo_col``/
+    ``hi_col`` are dropped from the output like :func:`range_join`
+    keeps them — they are kept, suffixed on clash, for parity."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if how not in ("inner", "left outer"):
+        raise ValueError(
+            f"range_shuffle_join supports 'inner' / 'left outer', got {how!r}"
+        )
+    l_schema = _arrow_schema(left)
+    r_schema = _arrow_schema(right)
+    for c in (lo_col, hi_col):
+        if c not in r_schema.names:
+            raise ValueError(f"right side missing bound column {c!r}")
+    _, is_float, _ordinal = _range_domain(
+        l_schema.field(on).type, r_schema.field(lo_col).type
+    )
+    if num_partitions is None:
+        num_partitions = max(8, 2 * int(ray.cluster_resources().get("CPU", 4)))
+
+    # -- 1. boundary sample: scalars only, one tiny collect ----------------
+    def _sample(t: pa.Table) -> pa.Table:
+        col = t[on].combine_chunks() if isinstance(t[on], pa.ChunkedArray) else t[on]
+        col = col.drop_null()
+        if len(col) == 0:
+            return pa.table({"v": pa.array([], type=pa.float64())})
+        idx = np.linspace(0, len(col) - 1, min(sample_per_block, len(col))).astype(np.int64)
+        return pa.table({"v": pa.array(_ordinal(col)[idx].astype(np.float64))})
+
+    samples = [
+        r["v"]
+        for r in left.map_batches(_sample, **_PYARROW).take_all()
+    ]
+    if samples:
+        qs = np.quantile(np.asarray(samples, dtype=np.float64),
+                         np.linspace(0, 1, num_partitions + 1)[1:-1])
+        bounds = np.unique(qs)
+    else:
+        bounds = np.array([], dtype=np.float64)
+
+    # -- 2. partition tagging ----------------------------------------------
+    l_names = set(l_schema.names)
+    r_out_map = {c: (c + suffix if c in l_names else c) for c in r_schema.names}
+    r_out_types = {r_out_map[c]: r_schema.field(c).type for c in r_schema.names}
+    l_types = {c: l_schema.field(c).type for c in l_schema.names}
+    out_cols = list(l_schema.names) + [r_out_map[c] for c in r_schema.names]
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        ts = _ordinal(t[on]).astype(np.float64)
+        nulls = np.asarray(pc.is_null(t[on].combine_chunks()))
+        part = np.searchsorted(bounds, ts, side="right").astype(np.int64)
+        part[nulls] = 0  # null probes never match; park them anywhere
+        cols = {c: t[c] for c in t.column_names}
+        for name, typ in r_out_types.items():
+            cols[name] = pa.nulls(t.num_rows, type=typ)
+        cols["__part"] = pa.array(part)
+        cols["__side"] = pa.array(np.ones(t.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        # drop null/inverted bounds up front, then replicate each
+        # interval into every partition range it overlaps
+        t = t.filter(pc.and_(pc.is_valid(t[lo_col]), pc.is_valid(t[hi_col])))
+        lo = _ordinal(t[lo_col]).astype(np.float64)
+        hi = _ordinal(t[hi_col]).astype(np.float64)
+        p0 = np.searchsorted(bounds, lo, side="right").astype(np.int64)
+        p1 = np.searchsorted(bounds, hi, side="right").astype(np.int64)
+        reps = np.maximum(p1 - p0 + 1, 0)
+        reps[hi < lo] = 0
+        from tenzir_ray.arrowutil import ranges as _ranges
+
+        row_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), reps)
+        part = np.repeat(p0, reps) + _ranges(reps)
+        rt = t.take(pa.array(row_idx))
+        cols = {r_out_map[c]: rt[c] for c in rt.column_names}
+        for c, typ in l_types.items():
+            cols[c] = pa.nulls(rt.num_rows, type=typ)
+        cols["__part"] = pa.array(part)
+        cols["__side"] = pa.array(np.zeros(rt.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    ordered = out_cols + ["__part", "__side"]
+    u = left.map_batches(tag_left, **_PYARROW).select_columns(ordered).union(
+        right.map_batches(tag_right, **_PYARROW).select_columns(ordered)
+    )
+
+    # -- 3. per-partition segment join --------------------------------------
+    lo_out, hi_out = r_out_map[lo_col], r_out_map[hi_col]
+
+    def join_group(t: pa.Table) -> pa.Table:
+        side = np.asarray(t["__side"].combine_chunks())
+        lt = t.filter(pa.array(side == 1)).select(out_cols)
+        rt = t.filter(pa.array(side == 0))
+        l_part = lt.select(list(l_schema.names))
+        r_part = rt.select([r_out_map[c] for c in r_schema.names])
+        if l_part.num_rows == 0:
+            return pa.schema(
+                [(c, l_types.get(c) or r_out_types[c]) for c in out_cols]
+            ).empty_table()
+        if r_part.num_rows == 0:
+            if how == "inner":
+                return pa.schema(
+                    [(c, l_types.get(c) or r_out_types[c]) for c in out_cols]
+                ).empty_table()
+            return lt  # all-null right payloads already in place
+        index = _SegmentIndex(
+            _ordinal(r_part[lo_out]), _ordinal(r_part[hi_out]), is_float
+        )
+        left_idx, right_take, cnt = index.probe(_ordinal(l_part[on]))
+        out_left = l_part.take(pa.array(left_idx))
+        out_right = r_part.take(pa.array(right_take))
+        matched = pa.table(
+            {
+                **{c: out_left[c] for c in out_left.column_names},
+                **{c: out_right[c] for c in out_right.column_names},
+            }
+        ).select(out_cols)
+        if how == "inner":
+            return matched
+        miss = np.flatnonzero(cnt == 0)
+        if not miss.size:
+            return matched
+        return pa.concat_tables([matched, lt.take(pa.array(miss))])
+
+    return u.groupby("__part").map_groups(join_group, batch_format="pyarrow")
