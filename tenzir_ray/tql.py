@@ -288,13 +288,30 @@ def _compile_stage(stage: str) -> Callable[[Dataset], Dataset]:
 
         return _dd
     if op == "range-join":
-        # range-join <parquet_path> on <left_col> in <lo_col>..<hi_col> [how]
+        # range-join <parquet_path> on <left_col> in <lo_col>..<hi_col>
+        #   [--shuffle] [how]   (--shuffle: big-big range-partitioned path,
+        #   the interval side stays a Dataset — exact-token parse like
+        #   asof-join's flags)
         m = re.match(r"(\S+)\s+on\s+(\S+)\s+in\s+(\S+)\.\.(\S+)(?:\s+(.+))?$", rest)
         if not m:
-            raise ValueError("range-join wants: <parquet> on <col> in <lo>..<hi> [how]")
-        path, col, lo, hi, how = m.groups()
+            raise ValueError(
+                "range-join wants: <parquet> on <col> in <lo>..<hi> [--shuffle] [how]"
+            )
+        path, col, lo, hi, tail = m.groups()
+        tokens = (tail or "").split()
+        shuffle = "--shuffle" in tokens
+        tokens = [t for t in tokens if t != "--shuffle"]
+        how = " ".join(tokens) or "inner"
 
-        def _rj(ds, _p=path, _c=col, _lo=lo, _hi=hi, _h=how or "inner"):
+        def _rj(ds, _p=path, _c=col, _lo=lo, _hi=hi, _h=how, _sh=shuffle):
+            if _sh:
+                import ray.data
+
+                from tenzir_ray.ops.join import range_shuffle_join
+
+                return range_shuffle_join(
+                    ds, ray.data.read_parquet(_p), on=_c, lo_col=_lo, hi_col=_hi, how=_h
+                )
             import pyarrow.parquet as pq
 
             from tenzir_ray.ops.join import range_join

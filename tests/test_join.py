@@ -436,3 +436,24 @@ def test_range_shuffle_join_timestamps_clash_and_nulls(ray_session):
         num_partitions=4,
     ).to_pandas()
     assert len(outer) == 5 and sorted(outer[outer["w"].isna()]["id"]) == [2, 3, 4]
+
+
+def test_tql_range_join_shuffle_flag(ray_session, tmp_path):
+    """TQL `range-join ... --shuffle [how]` routes to the partitioned
+    path with exact-token flag parsing (no substring stripping)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from tenzir_ray import tql
+
+    iv = str(tmp_path / "iv.parquet")
+    pq.write_table(pa.table({"iv": ["a", "b"], "lo": [0, 4], "hi": [6, 12]}), iv)
+    ds = ray.data.from_arrow(pa.table({"id": [0, 1, 2], "x": [1, 5, 20]}))
+    bc = tql.run(f"range-join {iv} on x in lo..hi | sort id", ds).to_pandas()
+    sh = tql.run(f"range-join {iv} on x in lo..hi --shuffle | sort id", ds).to_pandas()
+    assert sorted(zip(bc["id"], bc["iv"])) == sorted(zip(sh["id"], sh["iv"]))
+    outer = tql.run(
+        f"range-join {iv} on x in lo..hi --shuffle left outer", ds
+    ).to_pandas()
+    assert len(outer) == 4 and outer["iv"].isna().sum() == 1
