@@ -13,7 +13,9 @@ Supported operators: where select drop rename put extend replace head
 tail taste unique enumerate sort top rare summarize hash flatten
 unflatten batch repeat measure pass shell decapsulate sigma
 lookup-join shuffle-join asof-join range-join sessionize tumbling hopping
-dedup-exact dedup-minhash dedup-ngram dedup-simhash dedup-embedding.
+dedup-exact dedup-minhash dedup-ngram dedup-simhash dedup-embedding;
+nested pipelines via ``fork { ... }`` and ``if <pred> { ... } else
+{ ... }`` (pipeline-as-operator, ``pipeline.hpp:401-542``).
 """
 
 from __future__ import annotations
@@ -27,6 +29,51 @@ from tenzir_ray import ops
 
 # split on single '|' (not '||' which is boolean OR inside expressions)
 _PIPE_RE = re.compile(r"(?<!\|)\|(?!\|)")
+
+
+def _split_pipes(text: str) -> List[str]:
+    """Top-level stage split: single ``|`` at brace depth 0 (nested
+    sub-pipelines ``{ ... }`` keep their own pipes; ``||`` is boolean
+    OR inside expressions)."""
+    parts, buf, depth = [], [], 0
+    for i, ch in enumerate(text):
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+            if depth < 0:
+                raise ValueError("unbalanced '}' in pipeline")
+        if (
+            ch == "|"
+            and depth == 0
+            and (i == 0 or text[i - 1] != "|")
+            and (i + 1 >= len(text) or text[i + 1] != "|")
+        ):
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if depth != 0:
+        raise ValueError("unbalanced '{' in pipeline")
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _take_brace_block(text: str) -> tuple:
+    """Parse ``{ <sub-pipeline> } <remainder>`` → (body, remainder).
+    ``text`` must start (after whitespace) with '{'."""
+    text = text.lstrip()
+    if not text.startswith("{"):
+        raise ValueError(f"expected '{{ ... }}' sub-pipeline, got {text[:40]!r}")
+    depth = 0
+    for i, ch in enumerate(text):
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+            if depth == 0:
+                return text[1:i].strip(), text[i + 1 :].strip()
+    raise ValueError("unbalanced '{' in sub-pipeline")
 # alias = func(args): func may be dotted (quantile_cont_0.95); args may
 # be "." (row count), one column, or a comma list (arg_max payload+order)
 _AGG_RE = re.compile(r"^\s*(\w+)\s*=\s*([\w.]+)\s*\(\s*([\w.,\s]*)\)\s*$")
@@ -64,6 +111,64 @@ def _compile_stage(stage: str) -> Callable[[Dataset], Dataset]:
         raise ValueError("empty pipeline stage")
     op, _, rest = stage.partition(" ")
     rest = rest.strip()
+
+    # nested pipelines — pipeline-as-operator (``pipeline.hpp:401-542``,
+    # ``builtins/operators/pipeline.cpp``): sub-pipelines compile
+    # recursively at compile time, not at run time
+    if op == "fork":
+        # fork { <pipeline> } — run a sub-pipeline over a copy of the
+        # stream for its side effects (sinks, serving); the input
+        # passes through unchanged. Ray shape: the sub-DAG re-reads the
+        # same lazy source and is driven to completion here.
+        body, trailing = _take_brace_block(rest)
+        if trailing:
+            raise ValueError(f"fork: unexpected trailing {trailing!r}")
+        sub = compile_pipeline(body)
+
+        def _fork(ds, _sub=sub):
+            _sub(ds).materialize()
+            return ds
+
+        return _fork
+    if op == "if":
+        # if <predicate> { <then> } [else { <else> }] — TRUE rows take
+        # the then-branch; false AND null rows take the else-branch
+        # (SQL/Kleene: only proven-true rows match). Branch outputs
+        # union; branches must keep union-compatible schemas.
+        brace = rest.find("{")
+        if brace < 0:
+            raise ValueError("if wants: <predicate> { <pipeline> } [else { <pipeline> }]")
+        pred = rest[:brace].strip()
+        then_body, trailing = _take_brace_block(rest[brace:])
+        else_body = None
+        if trailing:
+            if not trailing.startswith("else"):
+                raise ValueError(f"if: unexpected trailing {trailing!r}")
+            else_body, trailing = _take_brace_block(trailing[len("else") :])
+            if trailing:
+                raise ValueError(f"if: unexpected trailing {trailing!r}")
+        then_fn = compile_pipeline(then_body)
+        else_fn = compile_pipeline(else_body) if else_body else (lambda ds: ds)
+
+        def _if(ds, _pred=pred, _then=then_fn, _else=else_fn):
+            import pyarrow.compute as pc
+
+            from tenzir_ray.expr import compile_predicate
+
+            mask_fn = compile_predicate(_pred)
+
+            def keep_true(t):
+                return t.filter(pc.fill_null(mask_fn(t), False))
+
+            def keep_rest(t):
+                return t.filter(pc.invert(pc.fill_null(mask_fn(t), False)))
+
+            kw = dict(batch_format="pyarrow", zero_copy_batch=True)
+            return _then(ds.map_batches(keep_true, **kw)).union(
+                _else(ds.map_batches(keep_rest, **kw))
+            )
+
+        return _if
 
     if op == "where":
         return lambda ds: ops.where(ds, rest)
@@ -464,8 +569,9 @@ def _compile_stage(stage: str) -> Callable[[Dataset], Dataset]:
 
 def compile_pipeline(pipeline: str) -> Callable[[Dataset], Dataset]:
     """Compile ``op | op | ...`` into one Dataset transform (pipelines
-    are operators — ``pipeline.hpp:401-542``)."""
-    stages = [_compile_stage(s) for s in _PIPE_RE.split(pipeline)]
+    are operators — ``pipeline.hpp:401-542``); ``fork { ... }`` /
+    ``if <pred> { ... } else { ... }`` nest sub-pipelines."""
+    stages = [_compile_stage(s) for s in _split_pipes(pipeline)]
 
     def apply(ds: Dataset) -> Dataset:
         for stage in stages:

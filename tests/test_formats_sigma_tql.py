@@ -270,3 +270,70 @@ def test_tql_new_aggregates_and_approx_top():
 
     with pytest.raises(ValueError, match="rare --approx"):
         tql.run("rare x 2 --approx", ray.data.from_arrow(skew))
+
+
+def test_tql_nested_if_else(ray_session):
+    """Pipeline-as-operator (pipeline.hpp:401-542): if/else routes TRUE
+    rows to the then-branch, false AND null to else (Kleene), branch
+    sub-pipelines nest their own pipes, outputs union."""
+    import pyarrow as pa
+    import ray.data
+
+    from tenzir_ray import tql
+
+    ds = ray.data.from_arrow(pa.table({"x": [1, 2, 3, 4, None]}))
+    out = tql.run(
+        "if x > 2 { extend tag = 1 } else { extend tag = 0 } | sort x", ds
+    ).to_pandas()
+    got = {(-1 if pd_isna(x) else int(x)): t for x, t in zip(out["x"], out["tag"])}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, -1: 0}
+    # nested pipes inside a branch; no else keeps rows unchanged
+    out2 = tql.run("if x > 1 { where x > 3 | extend tag = 9 }", ds).to_pandas()
+    assert sorted(out2["x"].dropna()) == [1.0, 4.0]  # 2,3 filtered in-branch
+
+
+def pd_isna(v):
+    import pandas as pd
+
+    return pd.isna(v)
+
+
+def test_tql_fork_side_pipeline(ray_session, tmp_path):
+    """fork { ... } drives a side sub-pipeline to completion and passes
+    the input stream through unchanged."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from tenzir_ray import registry, tql
+
+    out_dir = str(tmp_path / "forked")
+
+    @registry.register_operator("_test-fork-sink")
+    def _sink(d, arg):
+        d.write_parquet(f"local://{out_dir}")
+        return d
+
+    try:
+        ds = ray.data.from_arrow(pa.table({"x": [1, 2, 3, 4]}))
+        out = tql.run("fork { where x > 2 | _test-fork-sink . } | extend y = x", ds)
+        df = out.to_pandas()
+        assert len(df) == 4 and list(df["y"]) == [1, 2, 3, 4]
+        import pyarrow.parquet as pq
+
+        side = pq.read_table(out_dir)
+        assert sorted(side["x"].to_pylist()) == [3, 4]
+    finally:
+        registry.OPERATORS.pop("_test-fork-sink", None)
+
+
+def test_tql_brace_errors():
+    from tenzir_ray import tql
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unbalanced"):
+        tql.compile_pipeline("if x > 1 { extend y = 1 ")
+    with _pytest.raises(ValueError, match="trailing"):
+        tql.compile_pipeline("fork { pass } garbage")
