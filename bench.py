@@ -133,6 +133,11 @@ def run_queries() -> dict:
         "decontaminate_docs",
         "repetition_docs",
         "curate_docs",
+        # r5 shuffle-bearing additions (scale probes in
+        # BENCH/shuffle_ops_scaleup_r05.json)
+        "pivot_lineitem",
+        "asof_shuffle_join_events",
+        "range_shuffle_join_events",
     ]
     def load1() -> float:
         try:
