@@ -88,7 +88,7 @@ def as_array(arr) -> "pa.Array":
     return arr
 
 
-def from_arrow_refs_retried(out_refs, attempts: int = 3):
+def from_arrow_refs_retried(out_refs, attempts: int = 5):
     """``ray.data.from_arrow_refs`` with a short retry.
 
     Its internal per-ref metadata fetch (``ray::get_table_block_
@@ -105,7 +105,7 @@ def from_arrow_refs_retried(out_refs, attempts: int = 3):
     for i in range(attempts):
         try:
             return ray.data.from_arrow_refs(out_refs)
-        except ray.exceptions.RayTaskError as e:  # pragma: no cover - load-dependent
+        except (ray.exceptions.RayTaskError, KeyError) as e:  # pragma: no cover - load-dependent
             last = e
             time.sleep(0.5 * (i + 1))
     raise last

@@ -533,12 +533,17 @@ def erase(lake_root: str, predicate: str) -> Dict:
     mask_fn = compile_predicate(predicate)
     files = dict(man["files"])
 
+    from tenzir_ray.cdc.lake import bucket_paths
+
     @ray.remote
-    def rewrite(bucket: str, rel: str):
+    def rewrite(bucket: str, rels: list):
         from tenzir_ray.cdc.lake import BloomFilter, column_synopses
 
-        path = os.path.join(lake_root, rel)
-        t = pq.read_table(path)
+        # a rebucketed/compacted bucket may span MULTIPLE files
+        # (manifest "paths"); the rewrite re-unifies it into one, same
+        # as the merge path does
+        parts = [pq.read_table(os.path.join(lake_root, rel)) for rel in rels]
+        t = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
         drop = pc.fill_null(mask_fn(t), False)
         if not pc.any(drop).as_py():
             return bucket, None, t.num_rows, None, None  # untouched
@@ -554,7 +559,9 @@ def erase(lake_root: str, predicate: str) -> Dict:
         bloom = BloomFilter.build(set(kept["repo"].to_pylist())).to_json()
         return bucket, new_rel, kept.num_rows, bloom, column_synopses(kept)
 
-    results = ray.get([rewrite.remote(b, f["path"]) for b, f in files.items()])
+    results = ray.get(
+        [rewrite.remote(b, bucket_paths(f)) for b, f in files.items()]
+    )
     erased = 0
     for bucket, new_rel, rows, bloom, synopses in results:
         if new_rel is not None:

@@ -1082,6 +1082,7 @@ def _connected_components(edges: Dataset, id_type: pa.DataType) -> Dataset:
 
     cc_reduce = cc_reduce.options(num_returns=2)
 
+    converged = False
     for it in range(_CC_MAX_ITERS):
         msg_refs = [cc_map.remote(shard_refs[p], label_refs[p]) for p in range(nparts)]
         out = [
@@ -1094,15 +1095,46 @@ def _connected_components(edges: Dataset, id_type: pa.DataType) -> Dataset:
         label_refs = [o[0] for o in out]
         changed = sum(ray.get([o[1] for o in out]))
         if changed == 0:
+            converged = True
             if os.environ.get("TZR_DEDUP_TRACE"):
                 print(f"[dedup-trace] cc converged after {it + 1} rounds "
                       f"({nparts} shards)", flush=True)
             break
-    else:
-        raise RuntimeError(
-            f"_connected_components: no fixpoint after {_CC_MAX_ITERS} rounds "
-            "(pathological duplicate-chain diameter?)"
+    if not converged:
+        # component diameter > cap (a pathological duplicate CHAIN, not
+        # the near-clique common case): finish EXACTLY with a driver
+        # union-find over the CONTRACTED (node, label) pairs — one row
+        # per duplicate-candidate node, far smaller than the edge set
+        # the exchange path exists to keep off-driver, and only reached
+        # after _CC_MAX_ITERS propagation rounds failed to converge.
+        @ray.remote
+        def node_labels(shard, labels):
+            return shard[2], labels
+
+        pairs = ray.get(
+            [node_labels.remote(shard_refs[p], label_refs[p]) for p in range(nparts)]
         )
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for nodes, labels in pairs:
+            for n, l in zip(nodes.tolist(), labels.tolist()):
+                rn, rl = find(n), find(l)
+                if rn != rl:  # min id becomes the root → min-label semantics
+                    if rl < rn:
+                        rn, rl = rl, rn
+                    parent[rl] = rn
+        label_refs = [
+            ray.put(np.array([find(n) for n in nodes.tolist()], dtype=labels.dtype))
+            for nodes, labels in pairs
+        ]
 
     @ray.remote
     def shard_table(shard, labels) -> pa.Table:

@@ -465,6 +465,19 @@ def _eval(node: Node, table: pa.Table):
         lhs, rhs = _eval(node.lhs, table), _eval(node.rhs, table)
         import ipaddress
 
+        # literal-on-left normalization: the ip special cases below
+        # inspect the RHS, and `1.2.3.4 == src_ip` is the same
+        # comparison — without the swap it would fall through to
+        # pc.equal(IPv4Address, array) and crash inside every worker
+        if isinstance(lhs, (ipaddress.IPv4Address, ipaddress.IPv6Address)) \
+                and node.op in ("==", "!="):
+            lhs, rhs = rhs, lhs
+        if isinstance(lhs, (ipaddress.IPv4Network, ipaddress.IPv6Network)):
+            raise TypeError(
+                "subnet literal must be the RIGHT side of containment: "
+                "x in 10.0.0.0/8"
+            )
+
         # ip/subnet domain comparisons (reference type.hpp:703,795):
         # string-carried IP column vs ip/subnet literal
         if isinstance(rhs, (ipaddress.IPv4Network, ipaddress.IPv6Network)):
@@ -553,7 +566,22 @@ def _validate(node: Node) -> None:
             if not isinstance(node.rhs, Literal) or not isinstance(node.rhs.value, str):
                 raise ValueError("matches requires a string literal pattern")
             re.compile(node.rhs.value)  # syntax check (Python re ≈ RE2 for our subset)
-        if not isinstance(node.lhs, (TypeExtractor, MetaExtractor)):
+        if isinstance(node.lhs, MetaExtractor):
+            # closed set (reference meta_extractor, expression.hpp:37):
+            # a typo'd #extractor would otherwise resolve to a missing
+            # reserved column = all-null mask = silently zero rows
+            if node.lhs.name not in _META_COLUMNS:
+                raise ValueError(
+                    f"unknown meta extractor #{node.lhs.name}; one of "
+                    f"{sorted('#' + n for n in _META_COLUMNS)}"
+                )
+        elif isinstance(node.lhs, TypeExtractor):
+            if node.lhs.name != "ip" and node.lhs.name not in _TYPE_PREDICATES:
+                raise ValueError(
+                    f"unknown type extractor :{node.lhs.name}; one of "
+                    f"{sorted(':' + n for n in list(_TYPE_PREDICATES) + ['ip'])}"
+                )
+        else:
             _validate(node.lhs)
         if isinstance(node.rhs, (TypeExtractor, MetaExtractor)):
             raise ValueError("type/meta extractors belong on the comparison's left side")

@@ -108,15 +108,14 @@ def looks_like_ip_column(arr, sample: int = 8) -> bool:
     ``sample`` non-null values must ALL parse as addresses."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    seen = 0
-    for v in arr:
-        if not v.is_valid:
-            continue
+    # drop_null + slice FIRST: a mostly-null column must not pull the
+    # whole array through a per-row Python loop hunting for non-nulls
+    head = arr.drop_null().slice(0, sample)
+    if len(head) == 0:
+        return False
+    for v in head.to_pylist():
         try:
-            ipaddress.ip_address(str(v.as_py()).strip())
+            ipaddress.ip_address(str(v).strip())
         except ValueError:
             return False
-        seen += 1
-        if seen >= sample:
-            break
-    return seen > 0
+    return True

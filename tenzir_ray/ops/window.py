@@ -64,37 +64,52 @@ def _fill_scalar(typ: pa.DataType) -> pa.Scalar:
         raise TypeError(f"null-safe sort: unsupported partition key type {typ}")
 
 
+def _null_safe_pair(t: pa.Table, col: str, isn_name: str, filled_name: str) -> pa.Table:
+    import pyarrow.compute as pc
+
+    c = t[col]
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    try:
+        mask = pc.is_null(c, nan_is_null=True)
+    except (TypeError, pa.ArrowNotImplementedError):
+        mask = pc.is_null(c)
+    t = t.append_column(isn_name, pc.cast(mask, pa.int8()))
+    return t.append_column(filled_name, pc.if_else(mask, _fill_scalar(c.type), c))
+
+
+def _drop_helpers(t: pa.Table) -> pa.Table:
+    return t.drop_columns([c for c in t.column_names if c.startswith("__wk_")])
+
+
 def _sorted_refs(ds: Dataset, key: str, order_cols, desc_order: bool = False):
     """Distributed range-partition sort by (key, order_cols) whose
     blocks are safe to scan with boundary carries, EVEN when the key
-    column contains nulls: Ray's range partitioner cannot compare a
-    null boundary, so a null key run would be split across partitions
-    with the secondary order broken. We sort on (key-is-null,
-    null-filled key, order...) instead — nulls form one contiguous,
-    correctly ordered run at the end (SQL NULLS LAST). Returns
-    ``(refs, materialized)``; blocks still carry the two helper
-    columns ``_ISN``/``_FILLED`` — consumers drop them."""
-    import pyarrow.compute as pc
+    OR an order column contains nulls: Ray's range partitioner cannot
+    compare a null boundary, so a null run would be split across
+    partitions with the secondary order broken. Every sort column is
+    replaced by an (is-null, null-filled) pair — nulls form one
+    contiguous, correctly ordered run at the end (DuckDB/SQL NULLS
+    LAST, for descending order too). Returns ``(refs, materialized)``;
+    blocks still carry the ``__wk_*`` helper columns — consumers drop
+    them via :func:`_drop_helpers`."""
+    order_cols = list(order_cols)
 
     def add_helpers(t: pa.Table) -> pa.Table:
-        kc = t[key]
-        if isinstance(kc, pa.ChunkedArray):
-            kc = kc.combine_chunks()
-        try:
-            mask = pc.is_null(kc, nan_is_null=True)
-        except (TypeError, pa.ArrowNotImplementedError):
-            mask = pc.is_null(kc)
-        t = t.append_column(_ISN, pc.cast(mask, pa.int8()))
-        return t.append_column(_FILLED, pc.if_else(mask, _fill_scalar(kc.type), kc))
+        t = _null_safe_pair(t, key, _ISN, _FILLED)
+        for i, c in enumerate(order_cols):
+            t = _null_safe_pair(t, c, f"__wk_oisn{i}", f"__wk_ofill{i}")
+        return t
 
     withh = ds.map_batches(
         add_helpers, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    order_cols = list(order_cols)
-    sorted_ds = withh.sort(
-        [_ISN, _FILLED] + order_cols,
-        descending=[False, False] + [desc_order] * len(order_cols),
-    )
+    sort_cols, desc_flags = [_ISN, _FILLED], [False, False]
+    for i in range(len(order_cols)):
+        # NULLS LAST regardless of direction (DuckDB's default for both)
+        sort_cols += [f"__wk_oisn{i}", f"__wk_ofill{i}"]
+        desc_flags += [False, desc_order]
+    sorted_ds = withh.sort(sort_cols, descending=desc_flags)
     # Every Dataset snapshots its own DataContext (``ds.context`` is the
     # per-plan copy, not the process-global singleton), so flipping
     # preserve_order here affects ONLY this pipeline.
@@ -310,7 +325,7 @@ def sessionize_sorted(
 
     @ray.remote
     def _assign(t: pa.Table, off: int) -> pa.Table:
-        t = t.drop_columns([_ISN, _FILLED])
+        t = _drop_helpers(t)
         if t.num_rows == 0:
             return t.append_column(out_col, pa.array([], type=pa.int64()))
         df = t.to_pandas()
@@ -379,7 +394,7 @@ def lag_col(
 
     @ray.remote
     def _assign(t: pa.Table, carry) -> pa.Table:
-        t = t.drop_columns([_ISN, _FILLED])
+        t = _drop_helpers(t)
         val = t[col]
         if isinstance(val, pa.ChunkedArray):
             val = val.combine_chunks()
@@ -492,7 +507,7 @@ def cumsum_col(
 
     @ray.remote
     def _assign(t: pa.Table, off) -> pa.Table:
-        t = t.drop_columns([_ISN, _FILLED])
+        t = _drop_helpers(t)
         if t.num_rows == 0:
             return t.append_column(out_col, pa.nulls(0, type=pa.float64()))
         off_sum, off_cnt = off
@@ -653,7 +668,7 @@ def window_ranks(
 
     @ray.remote
     def _assign(t: pa.Table, plan) -> pa.Table:
-        t = t.drop_columns([_ISN, _FILLED])
+        t = _drop_helpers(t)
         if t.num_rows == 0:
             for name in outs.values():
                 if name:

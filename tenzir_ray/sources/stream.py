@@ -249,8 +249,16 @@ class KafkaSource(StreamSource):
     - **Values are NDJSON records** decoded under the declared
       ``schema`` (the reference pairs the kafka loader with the json
       parser); an ``offset`` int64 column is stamped on from message
-      offsets, packed to a total order over partitions via
-      :func:`pack_offset`.
+      offsets, packed via :func:`pack_offset` with the TOPIC partition
+      count (fixed at construction from broker metadata — never the
+      per-consumer assignment, which would collide across group members
+      and rebalances). With one partition the packed offset is the raw
+      Kafka offset and the engine's single high-water mark is the
+      cross-restart resume point; with several, partitions advance at
+      independent rates, so duplicate-drop is per-partition
+      (``_delivered`` HWMs) and cross-restart resume rides the
+      broker-stored group offsets + the engine's applied-chunk
+      idempotence.
     - **Seek policy** (``offset=``): ``stored`` resumes from committed
       group offsets, ``beginning``/``end``/absolute int/
       ``timestamp:<ms>`` seek explicitly on assign — applied in the
@@ -295,7 +303,6 @@ class KafkaSource(StreamSource):
         self.shard_records = shard_records
         self.poll_timeout = poll_timeout
         self.drain_max_records = drain_max_records
-        self._num_partitions = 1  # refreshed on assign
         conf = {
             "bootstrap.servers": bootstrap_servers,
             "group.id": group_id,
@@ -304,6 +311,18 @@ class KafkaSource(StreamSource):
             **(config or {}),
         }
         self._consumer = Consumer(conf)
+        # partition count is FIXED at construction from broker topic
+        # metadata — packing with a per-consumer assignment count would
+        # collide offsets across group members and change the number
+        # system across rebalances
+        md = self._consumer.list_topics(topic, timeout=10)
+        tp = md.topics.get(topic)
+        self._num_partitions = max(1, len(tp.partitions) if tp else 1)
+        # per-partition delivery high-water marks: partitions advance at
+        # independent rates, so a GLOBAL packed-offset filter would drop
+        # a lagging partition's backlog; reset by force_rebalance (the
+        # engine dedups the redelivery)
+        self._delivered: Dict[int, int] = {}
         self._consumer.subscribe(
             [topic], on_assign=self._on_assign, on_revoke=lambda c, ps: None
         )
@@ -313,7 +332,6 @@ class KafkaSource(StreamSource):
     def _on_assign(self, consumer, partitions):  # pragma: no cover - needs broker
         from confluent_kafka import OFFSET_BEGINNING, OFFSET_END
 
-        self._num_partitions = max(self._num_partitions, len(partitions))
         kind = self._seek["kind"]
         if kind == "stored":
             pass  # committed group offsets, librdkafka's default resume
@@ -348,12 +366,20 @@ class KafkaSource(StreamSource):
                 break
             if msg.error():
                 raise RuntimeError(f"kafka consume error: {msg.error()}")
+            p, o = msg.partition(), msg.offset()
+            # per-partition duplicate guard (partitions advance at
+            # independent rates; a global packed-offset cut would drop
+            # lagging partitions' backlogs)
+            if o <= self._delivered.get(p, -1):
+                continue
+            self._delivered[p] = o
             rec = _json.loads(msg.value())
-            rec["offset"] = pack_offset(
-                msg.offset(), msg.partition(), self._num_partitions
-            )
+            rec["offset"] = pack_offset(o, p, self._num_partitions)
             rows.append(rec)
-        rows = [r for r in rows if r["offset"] > after_offset]
+        if self._num_partitions == 1:
+            # single partition: packed offsets ARE the total order, so
+            # the engine's high-water mark applies across restarts too
+            rows = [r for r in rows if r["offset"] > after_offset]
         if not rows:
             return []
         batch = pa.Table.from_pylist(rows, schema=self._schema)
@@ -378,7 +404,9 @@ class KafkaSource(StreamSource):
 
     def force_rebalance(self) -> None:  # pragma: no cover - needs broker
         """Test hook mirroring _RebalancingBroker: drop and re-acquire
-        the assignment so the on_assign seek policy re-fires."""
+        the assignment so the on_assign seek policy re-fires; delivery
+        HWMs reset so the seek-back REDELIVERS (the engine dedups)."""
+        self._delivered.clear()
         self._consumer.unsubscribe()
         self._consumer.subscribe([self.topic], on_assign=self._on_assign)
 

@@ -31,48 +31,73 @@ from tenzir_ray import ops
 _PIPE_RE = re.compile(r"(?<!\|)\|(?!\|)")
 
 
+def _quote_state(ch: str, quote: str) -> str:
+    """Fold one character into the current string-literal state
+    (``""`` = outside; ``'"'``/``"'"`` = inside that quote)."""
+    if quote:
+        return "" if ch == quote else quote
+    return ch if ch in "\"'" else ""
+
+
 def _split_pipes(text: str) -> List[str]:
     """Top-level stage split: single ``|`` at brace depth 0 (nested
     sub-pipelines ``{ ... }`` keep their own pipes; ``||`` is boolean
-    OR inside expressions)."""
-    parts, buf, depth = [], [], 0
+    OR inside expressions). Braces and pipes inside quoted string
+    literals are PAYLOAD, not structure — `where msg matches "^\\{"`
+    must not unbalance the pipeline."""
+    parts, buf, depth, quote = [], [], 0, ""
     for i, ch in enumerate(text):
-        if ch == "{":
-            depth += 1
-        elif ch == "}":
-            depth -= 1
-            if depth < 0:
-                raise ValueError("unbalanced '}' in pipeline")
-        if (
-            ch == "|"
-            and depth == 0
-            and (i == 0 or text[i - 1] != "|")
-            and (i + 1 >= len(text) or text[i + 1] != "|")
-        ):
-            parts.append("".join(buf))
-            buf = []
-        else:
-            buf.append(ch)
+        if not quote:
+            if ch == "{":
+                depth += 1
+            elif ch == "}":
+                depth -= 1
+                if depth < 0:
+                    raise ValueError("unbalanced '}' in pipeline")
+            elif (
+                ch == "|"
+                and depth == 0
+                and (i == 0 or text[i - 1] != "|")
+                and (i + 1 >= len(text) or text[i + 1] != "|")
+            ):
+                parts.append("".join(buf))
+                buf = []
+                continue
+        quote = _quote_state(ch, quote)
+        buf.append(ch)
     if depth != 0:
         raise ValueError("unbalanced '{' in pipeline")
     parts.append("".join(buf))
     return [p.strip() for p in parts if p.strip()]
 
 
+def _find_top_brace(text: str) -> int:
+    """Index of the first '{' OUTSIDE string literals, or -1."""
+    quote = ""
+    for i, ch in enumerate(text):
+        if not quote and ch == "{":
+            return i
+        quote = _quote_state(ch, quote)
+    return -1
+
+
 def _take_brace_block(text: str) -> tuple:
     """Parse ``{ <sub-pipeline> } <remainder>`` → (body, remainder).
-    ``text`` must start (after whitespace) with '{'."""
+    ``text`` must start (after whitespace) with '{'. Quote-aware like
+    :func:`_split_pipes`."""
     text = text.lstrip()
     if not text.startswith("{"):
         raise ValueError(f"expected '{{ ... }}' sub-pipeline, got {text[:40]!r}")
-    depth = 0
+    depth, quote = 0, ""
     for i, ch in enumerate(text):
-        if ch == "{":
-            depth += 1
-        elif ch == "}":
-            depth -= 1
-            if depth == 0:
-                return text[1:i].strip(), text[i + 1 :].strip()
+        if not quote:
+            if ch == "{":
+                depth += 1
+            elif ch == "}":
+                depth -= 1
+                if depth == 0:
+                    return text[1:i].strip(), text[i + 1 :].strip()
+        quote = _quote_state(ch, quote)
     raise ValueError("unbalanced '{' in sub-pipeline")
 # alias = func(args): func may be dotted (quantile_cont_0.95); args may
 # be "." (row count), one column, or a comma list (arg_max payload+order)
@@ -135,7 +160,7 @@ def _compile_stage(stage: str) -> Callable[[Dataset], Dataset]:
         # the then-branch; false AND null rows take the else-branch
         # (SQL/Kleene: only proven-true rows match). Branch outputs
         # union; branches must keep union-compatible schemas.
-        brace = rest.find("{")
+        brace = _find_top_brace(rest)
         if brace < 0:
             raise ValueError("if wants: <predicate> { <pipeline> } [else { <pipeline> }]")
         pred = rest[:brace].strip()

@@ -360,3 +360,28 @@ def test_synopses_survive_rebucket_and_erase(binlog_dir):
             from tenzir_ray.cdc.lake import BloomFilter
 
             assert not BloomFilter.from_json(syn["bloom"]).might_contain("py")
+
+
+def test_erase_on_compacted_multifile_lake(binlog_dir):
+    """Code-review r5: erase() must handle rebucketed buckets that span
+    MULTIPLE files (manifest "paths"), re-unifying them like the merge
+    path does."""
+    import pyarrow.compute as pc
+
+    from tenzir_ray.cdc.engine import erase
+
+    src = fresh_lake("erase_mf_src")
+    replay(binlog_dir, src, num_buckets=16, chunk_shards=2)
+    dst = fresh_lake("erase_mf_dst")
+    man = rebucket(src, dst, new_num_buckets=2, max_rows_per_file=100)
+    assert any("paths" in e and len(e["paths"]) > 1 for e in man["files"].values())
+    before = Lake(dst).to_arrow()
+    n_py = before.filter(pc.equal(before["lang"], "py")).num_rows
+    assert n_py > 0
+    man2 = erase(dst, 'lang == "py"')
+    after = Lake(dst).to_arrow()
+    assert after.num_rows == before.num_rows - n_py
+    assert after.filter(pc.equal(after["lang"], "py")).num_rows == 0
+    # rewritten buckets re-unified to single files with fresh synopses
+    rewritten = [e for e in man2["files"].values() if "path" in e and "v000002" in e["path"]]
+    assert rewritten and all("synopses" in e for e in rewritten)

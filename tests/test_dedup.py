@@ -420,3 +420,25 @@ def test_minhash_dedup_exchange_resolution(ray_session, monkeypatch):
     kept_e = sorted(dedup_minhash_lsh(ds, "text", "doc_id").to_pandas()["doc_id"])
     assert kept_d == kept_e
     assert len(kept_d) < len(did)
+
+
+def test_cc_long_chain_exceeds_round_cap(ray_session, monkeypatch):
+    """A duplicate CHAIN longer than _CC_MAX_ITERS (diameter > cap)
+    must still resolve EXACTLY via the contracted-pair driver fallback,
+    not RuntimeError (code-review r5 finding)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from tenzir_ray import dedup as dd
+    from tenzir_ray.dedup import _finish_drop
+
+    n = dd._CC_MAX_ITERS * 3 + 10  # one chain, diameter ~3x the cap
+    edge_ds = ray.data.from_arrow(
+        pa.table({"a": pa.array(np.arange(n - 1)), "b": pa.array(np.arange(1, n))})
+    ).repartition(4)
+    corpus = ray.data.from_arrow(pa.table({"doc_id": pa.array(np.arange(n + 20))}))
+    monkeypatch.setenv("TZR_EDGE_RESOLVE", "exchange")
+    kept = sorted(_finish_drop(corpus, "doc_id", edge_ds, []).to_pandas()["doc_id"])
+    # the whole chain collapses to its min id; untouched ids survive
+    assert kept == [0] + list(range(n, n + 20))

@@ -337,3 +337,23 @@ def test_tql_brace_errors():
         tql.compile_pipeline("if x > 1 { extend y = 1 ")
     with _pytest.raises(ValueError, match="trailing"):
         tql.compile_pipeline("fork { pass } garbage")
+
+
+def test_tql_quoted_braces_and_pipes(ray_session):
+    """Code-review r5: braces and pipes inside string literals are
+    payload, not pipeline structure."""
+    import pyarrow as pa
+    import ray.data
+
+    from tenzir_ray import tql
+
+    ds = ray.data.from_arrow(
+        pa.table({"msg": ["{json}", "plain", "a|b", "{x"]})
+    )
+    out = tql.run('where msg matches "^\\{"', ds).to_pandas()
+    assert sorted(out["msg"]) == ["{json}", "{x"]
+    out2 = tql.run('where msg == "a|b"', ds).to_pandas()
+    assert out2["msg"].tolist() == ["a|b"]
+    # quoted braces inside nested pipelines still balance
+    out3 = tql.run('if msg matches "\\{" { extend t = 1 } else { extend t = 0 }', ds).to_pandas()
+    assert sorted(out3["t"]) == [0, 0, 1, 1]

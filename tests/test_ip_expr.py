@@ -111,3 +111,25 @@ def test_plain_floats_still_tokenize():
     t = pa.table({"x": [1.5, 2.5]})
     assert compile_predicate("x > 1.6")(t).to_pylist() == [False, True]
     assert compile_predicate("x > 3.0 / 2")(t).to_pylist() == [False, True]
+
+
+def test_ip_literal_on_left_and_bad_extractors():
+    """Code-review r5: literal-on-left ip equality normalizes instead
+    of crashing per batch; typo'd meta/type extractors and
+    subnet-on-left fail at COMPILE time."""
+    import pyarrow as pa
+    import pytest
+
+    from tenzir_ray.expr import compile_predicate
+
+    t = pa.table({"src_ip": ["10.1.2.3", "10.1.2.4", None]})
+    m = compile_predicate("10.1.2.3 == src_ip")(t)
+    assert m.to_pylist() == [True, False, None]
+    m2 = compile_predicate("10.1.2.3 != src_ip")(t)
+    assert m2.to_pylist() == [False, True, None]
+    with pytest.raises(ValueError, match="unknown meta extractor"):
+        compile_predicate('#shema == "zeek.conn"')
+    with pytest.raises(ValueError, match="unknown type extractor"):
+        compile_predicate(':nosuch == "x"')
+    with pytest.raises(TypeError, match="RIGHT side"):
+        compile_predicate("10.0.0.0/8 in src_ip")(t)

@@ -120,3 +120,44 @@ def test_null_partition_key_spans_blocks(ray_session):
     # exactly ONE partition-first null lag in the null partition
     assert null_lag["prev"].isna().sum() == 1
     assert null_lag["prev"].iloc[0] is None or pd.isna(null_lag["prev"].iloc[0])
+
+
+def test_null_order_column_matches_duckdb(ray_session):
+    """Code-review r5: nulls in the ORDER column must survive the
+    range-partition sort (null-safe pairs for every sort column) and
+    land NULLS LAST, matching DuckDB's window default."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from tenzir_ray.ops.window import window_ranks
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n),
+            "rid": np.arange(n),
+            "v": rng.integers(0, 50, n).astype("float64"),
+        }
+    )
+    df.loc[df.index % 7 == 0, "v"] = np.nan  # nulls sprinkled everywhere
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(9)
+    out = (
+        window_ranks(ds, "k", ["v"], row_number=None, rank="rk", dense_rank="dr")
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        """
+        SELECT rid,
+               rank() OVER (PARTITION BY k ORDER BY v) AS rk,
+               dense_rank() OVER (PARTITION BY k ORDER BY v) AS dr
+        FROM df ORDER BY rid
+        """
+    ).df()
+    assert out["rk"].tolist() == exp["rk"].astype(int).tolist()
+    assert out["dr"].tolist() == exp["dr"].astype(int).tolist()
