@@ -550,7 +550,17 @@ def pivot(
             if isinstance(m, pa.ChunkedArray):
                 m = m.combine_chunks()
             cols[nm] = pc.if_else(m, val, pa.nulls(t.num_rows, type=val.type))
-        return pa.table(cols)
+        tbl = pa.table(cols)
+        # map-side combine (max of maxes = max): one ids-combination's
+        # melted rows usually sit in the SAME block (unpivot emits them
+        # adjacent), so a block-local Arrow group_by collapses them
+        # before the shuffle — len(names)x fewer bytes through the
+        # exchange at zero correctness cost
+        agged = tbl.group_by(ids).aggregate([(nm, "max") for nm in names])
+        return pa.table(
+            {**{c: agged[c] for c in ids},
+             **{nm: agged[f"{nm}_max"] for nm in names}}
+        )
 
     masked = ds.map_batches(mask_cols, **_PYARROW)
     return masked.groupby(ids).aggregate(
